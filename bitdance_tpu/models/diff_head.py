@@ -1,0 +1,290 @@
+"""Binary diffusion heads: flow-matching x-prediction networks.
+
+Two net families, matching the reference:
+
+  - TransEncoder (modeling/vision_head/flow_head_parallel_x.py:254-342):
+    attention over the `parallel_num`-token window, 6-way shared adaLN,
+    SwiGLU or MLP, output bounded to [-1, 1] by 2*sigmoid-1.
+  - MlpEncoder (imagenet_gen/src/diff_head.py:158-253): per-token residual
+    MLP, 3-way shared adaLN, unbounded output.
+
+The window attention is tiny (16/64 tokens) — it runs as a plain fp32-softmax
+einsum which XLA fuses; the full per-step fusion is a Pallas target (see
+bitdance_tpu/ops). DiffHead wraps a net with the flow-matching training loss
+(logit-normal t, x-prediction, v-space MSE; flow_head_parallel_x.py:68-105)
+and the Euler–Maruyama sampler.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bitdance_tpu.models.sampling import euler_maruyama, time_shift
+from bitdance_tpu.ops.norms import layer_norm
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0,
+                       time_factor: float = 1000.0) -> jax.Array:
+    """Sinusoidal timestep embedding, cos-first (flow_head_parallel_x.py:12-27)."""
+    half = dim // 2
+    tf = time_factor * t.astype(jnp.float32)
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = tf[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class TimestepEmbedder(nn.Module):
+    hidden_size: int
+    frequency_embedding_size: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        t_freq = timestep_embedding(t, self.frequency_embedding_size)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(0.02), name="mlp_0")(t_freq)
+        x = nn.silu(x)
+        return nn.Dense(self.hidden_size, dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.02), name="mlp_2")(x)
+
+
+class LayerNormAffine(nn.Module):
+    channels: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.channels,))
+        b = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return layer_norm(x, w, b, self.eps)
+
+
+class WindowAttention(nn.Module):
+    """Non-causal attention over the parallel window (flow_head_parallel_x.py:175-220)."""
+
+    dim: int
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, _ = x.shape
+        hd = self.dim // self.n_head
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="wqkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, self.n_head, hd).astype(jnp.float32)
+        k = k.reshape(b, n, self.n_head, hd).astype(jnp.float32)
+        v = v.reshape(b, n, self.n_head, hd).astype(jnp.float32)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="wo")(o.astype(x.dtype))
+
+
+class TransBlock(nn.Module):
+    """adaLN-modulated attention + FFN block (flow_head_parallel_x.py:222-252)."""
+
+    channels: int
+    use_swiglu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mods):
+        scale1, shift1, gate1, scale2, shift2, gate2 = mods
+        h = LayerNormAffine(self.channels, name="norm1")(x) * (1 + scale1) + shift1
+        h = WindowAttention(self.channels, self.channels // 128, dtype=self.dtype,
+                            name="attn")(h)
+        x = x + h * gate1
+        h = LayerNormAffine(self.channels, name="norm2")(x) * (1 + scale2) + shift2
+        hidden = int(self.channels * 1.5)
+        if self.use_swiglu:
+            h12 = nn.Dense(hidden * 2, dtype=self.dtype, name="w1")(h)
+            h1, h2 = jnp.split(h12, 2, axis=-1)
+            h = nn.Dense(self.channels, dtype=self.dtype, name="w2")(nn.silu(h1) * h2)
+        else:
+            h = nn.Dense(hidden, dtype=self.dtype, name="mlp_0")(h)
+            h = nn.Dense(self.channels, dtype=self.dtype, name="mlp_2")(nn.silu(h))
+        return x + h * gate2
+
+
+class MlpResBlock(nn.Module):
+    """Per-token residual SwiGLU block (diff_head.py:128-141)."""
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mods):
+        scale, shift, gate = mods
+        h = LayerNormAffine(self.channels, name="norm")(x) * (1 + scale) + shift
+        hidden = int(self.channels * 1.5)
+        h12 = nn.Dense(hidden * 2, dtype=self.dtype, name="w1")(h)
+        h1, h2 = jnp.split(h12, 2, axis=-1)
+        h = nn.Dense(self.channels, dtype=self.dtype, name="w2")(nn.silu(h1) * h2)
+        return x + h * gate
+
+
+class FinalLayer(nn.Module):
+    """adaLN final projection, zero-init (flow_head_parallel_x.py:162-173)."""
+
+    channels: int
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y):
+        mod = nn.Dense(self.channels * 2, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros,
+                       name="ada_ln_modulation")(y)
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        x = layer_norm(x) * (1.0 + scale) + shift
+        return nn.Dense(self.out_channels, dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros, name="linear")(x)
+
+
+class DiffNet(nn.Module):
+    """Shared skeleton of TransEncoder / MlpEncoder.
+
+    attention=True  -> TransEncoder (6 mods/block, bounded output)
+    attention=False -> MlpEncoder  (3 mods/block, unbounded output)
+    """
+
+    in_channels: int
+    model_channels: int
+    z_channels: int
+    num_res_blocks: int
+    num_ada_ln_blocks: int = 2
+    attention: bool = True
+    use_swiglu: bool = False
+    bounded_output: bool | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, c):
+        """x: noisy latents; t: [B]; c: conditioning (same leading dims as x)."""
+        bounded = self.bounded_output
+        if bounded is None:
+            bounded = self.attention
+        n_mods = 6 if self.attention else 3
+
+        h = nn.Dense(self.model_channels, dtype=self.dtype, name="input_proj")(x)
+        t_emb = TimestepEmbedder(self.model_channels, dtype=self.dtype,
+                                 name="time_embed")(t)
+        if x.ndim == 3:
+            t_emb = t_emb[:, None, :]
+        c_emb = nn.Dense(self.model_channels, dtype=self.dtype, name="cond_embed")(c)
+        y = nn.silu(t_emb + c_emb)
+
+        switch_freq = max(1, self.num_res_blocks // self.num_ada_ln_blocks)
+        assert self.num_res_blocks % switch_freq == 0
+
+        ada_lns = [
+            nn.Dense(self.model_channels * n_mods, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros, name=f"ada_ln_{i}")
+            for i in range(self.num_ada_ln_blocks)
+        ]
+        mods = jnp.split(ada_lns[0](y), n_mods, axis=-1)
+        for i in range(self.num_res_blocks):
+            if i > 0 and i % switch_freq == 0:
+                mods = jnp.split(ada_lns[i // switch_freq](y), n_mods, axis=-1)
+            if self.attention:
+                h = TransBlock(self.model_channels, self.use_swiglu,
+                               dtype=self.dtype, name=f"block_{i}")(h, mods)
+            else:
+                h = MlpResBlock(self.model_channels, dtype=self.dtype,
+                                name=f"block_{i}")(h, mods)
+
+        out = FinalLayer(self.model_channels, self.in_channels, dtype=self.dtype,
+                         name="final_layer")(h, y)
+        if bounded:
+            out = 2.0 * jax.nn.sigmoid(out.astype(jnp.float32)) - 1.0
+        return out.astype(x.dtype)
+
+
+class DiffHead(nn.Module):
+    """Flow-matching head: training loss + sampling (flow_head_parallel_x.py:32-120)."""
+
+    ch_target: int
+    ch_cond: int
+    ch_latent: int
+    depth_latent: int
+    depth_adanln: int
+    time_shift: float = 1.0
+    time_schedule: str = "logit_normal"
+    P_mean: float = 0.0
+    P_std: float = 1.0
+    parallel_num: int = 4
+    diff_batch_mul: int = 1
+    use_swiglu: bool = False
+    attention: bool = True
+    per_token_loss: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.net = DiffNet(
+            in_channels=self.ch_target,
+            model_channels=self.ch_latent,
+            z_channels=self.ch_cond,
+            num_res_blocks=self.depth_latent,
+            num_ada_ln_blocks=self.depth_adanln,
+            attention=self.attention,
+            use_swiglu=self.use_swiglu,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, x, cond, rng):
+        """Training loss. x: targets (±1 latents); cond: LLM hidden states.
+
+        x/cond: [N, P, C] (parallel, per-token loss over dim 2) or [N, C]
+        (imagenet MLP head, scalar loss). Matches flow_head_parallel_x.py:68-105.
+        """
+        kt, ke = jax.random.split(rng)
+        xf = x.astype(jnp.float32)
+        n = x.shape[0]
+        if self.time_schedule == "logit_normal":
+            t = jax.nn.sigmoid(
+                jax.random.normal(kt, (n,)) * self.P_std + self.P_mean
+            )
+        elif self.time_schedule == "uniform":
+            t = jax.random.uniform(kt, (n,))
+        else:
+            raise NotImplementedError(self.time_schedule)
+        if self.time_shift != 1.0:
+            t = time_shift(t, self.time_shift)
+        t = jax.lax.stop_gradient(t)
+
+        e = jax.random.normal(ke, xf.shape, jnp.float32)
+        ti = t.reshape((-1,) + (1,) * (xf.ndim - 1))
+        z = (1.0 - ti) * e + ti * xf
+        v = (xf - z) / jnp.maximum(1.0 - ti, 0.05)
+
+        x_pred = self.net(z.astype(self.dtype), t, cond)
+        v_pred = (x_pred.astype(jnp.float32) - z) / jnp.maximum(1.0 - ti, 0.05)
+        sq = jnp.square(v - v_pred)
+        if self.per_token_loss and sq.ndim == 3:
+            return jnp.mean(sq, axis=2)  # [N, P] per-token
+        return jnp.mean(sq)
+
+    def sample(self, cond, rng, cfg, num_sampling_steps: int,
+               cfg_mult: int | None = None):
+        """Euler–Maruyama sampling conditioned on fused [cond; uncond] rows."""
+        return euler_maruyama(
+            lambda xx, tt, cc: self.net(xx, tt, cc),
+            cond,
+            rng,
+            self.ch_target,
+            cfg=cfg,
+            cfg_mult=cfg_mult,
+            num_sampling_steps=num_sampling_steps,
+            flow_shift=self.time_shift,
+        )

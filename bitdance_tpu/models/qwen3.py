@@ -1,0 +1,239 @@
+"""Qwen3 decoder backbone, TPU-native.
+
+Functional re-implementation of the HF Qwen3 architecture used by the 14B
+T2I model (modeling/t2i_pipeline.py:48-51, modeling/llm/*). Design choices
+for TPU rather than a port:
+
+  - parameters are a pytree with per-layer tensors STACKED on a leading axis
+    and the layer loop is a single `lax.scan` — one compiled layer body,
+    trivial FSDP/TP sharding of the stacked axes, fast compiles.
+  - KV caches are fixed-shape ring buffers [L, B, max_len, kvh, hd] updated
+    with `dynamic_update_slice`; decode masks come from per-row valid windows
+    (left-padded prompts), so the cond and uncond CFG streams batch into ONE
+    forward instead of the reference's two sequential calls.
+  - attention runs through the (block_id, doc_id) mask model
+    (bitdance_tpu/ops/attention.py): causal prefill, block-bidirectional
+    64-token decode (t2i_pipeline.py:206-216), and packed training masks are
+    all the same kernel.
+
+Architecture facts (HF Qwen3ForCausalLM): GQA with per-head q/k RMSNorm,
+half-rotate RoPE, SwiGLU MLP, RMSNorm(eps 1e-6), no attention bias.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from bitdance_tpu.ops.attention import attention_xla, masked_attention
+from bitdance_tpu.ops.norms import rms_norm
+from bitdance_tpu.ops.rotary import apply_rope_half
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden_size: int = 5120
+    intermediate_size: int = 17408
+    num_hidden_layers: int = 40
+    num_attention_heads: int = 40
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 40960
+
+    @staticmethod
+    def qwen3_14b(vocab_size: int = 151936) -> "Qwen3Config":
+        return Qwen3Config(vocab_size=vocab_size)
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "Qwen3Config":
+        return Qwen3Config(
+            vocab_size=vocab_size, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=32,
+        )
+
+
+def init_qwen3_params(key: jax.Array, cfg: Qwen3Config,
+                      dtype: Any = jnp.float32) -> dict:
+    """Random-init parameter pytree (layer tensors stacked on axis 0)."""
+    L, D = cfg.num_hidden_layers, cfg.hidden_size
+    hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    I = cfg.intermediate_size
+    keys = jax.random.split(key, 12)
+
+    def norm_init(shape):
+        return jnp.ones(shape, dtype)
+
+    def dense(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+    params = {
+        "embed_tokens": dense(keys[0], (cfg.vocab_size, D)),
+        "final_norm": norm_init((D,)),
+        "layers": {
+            "q_proj": dense(keys[1], (L, D, hq * hd)),
+            "k_proj": dense(keys[2], (L, D, hkv * hd)),
+            "v_proj": dense(keys[3], (L, D, hkv * hd)),
+            "o_proj": dense(keys[4], (L, hq * hd, D)),
+            "q_norm": norm_init((L, hd)),
+            "k_norm": norm_init((L, hd)),
+            "input_layernorm": norm_init((L, D)),
+            "post_attention_layernorm": norm_init((L, D)),
+            "gate_proj": dense(keys[5], (L, D, I)),
+            "up_proj": dense(keys[6], (L, D, I)),
+            "down_proj": dense(keys[7], (L, I, D)),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(keys[8], (D, cfg.vocab_size))
+    return params
+
+
+def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int,
+                  dtype: Any = jnp.float32) -> dict:
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _rope_at(cfg: Qwen3Config, positions: jax.Array):
+    """cos/sin at given positions. positions: [B, S] int32 -> [B, S, hd//2]."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _mlp(lp: dict, x: jax.Array) -> jax.Array:
+    gate = x @ lp["gate_proj"]
+    up = x @ lp["up_proj"]
+    return (jax.nn.silu(gate) * up) @ lp["down_proj"]
+
+
+def qwen3_forward(
+    params: dict,
+    cfg: Qwen3Config,
+    embeds: jax.Array,
+    positions: jax.Array,
+    block_ids: jax.Array,
+    doc_ids: jax.Array,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """Full (uncached) forward over packed/padded embeds.
+
+    embeds: [B, S, D]; positions/block_ids/doc_ids: [B, S].
+    Returns final-norm hidden states [B, S, D].
+    """
+    cos, sin = _rope_at(cfg, positions)
+
+    def layer(x, lp):
+        b, s, _ = x.shape
+        hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = rms_norm((h @ lp["q_proj"]).reshape(b, s, hq, hd), lp["q_norm"],
+                     cfg.rms_norm_eps)
+        k = rms_norm((h @ lp["k_proj"]).reshape(b, s, hkv, hd), lp["k_norm"],
+                     cfg.rms_norm_eps)
+        v = (h @ lp["v_proj"]).reshape(b, s, hkv, hd)
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
+        attn = masked_attention(q, k, v, block_ids, doc_ids, block_ids, doc_ids,
+                                implementation=attn_impl)
+        x = x + attn.reshape(b, s, hq * hd) @ lp["o_proj"]
+        h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _mlp(lp, h)
+        return x, None
+
+    x, _ = jax.lax.scan(layer, embeds, params["layers"])
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+
+def qwen3_forward_cached(
+    params: dict,
+    cfg: Qwen3Config,
+    embeds: jax.Array,
+    positions: jax.Array,
+    cache: dict,
+    cache_len: jax.Array,
+    kv_start: jax.Array,
+    causal_block: bool,
+) -> tuple[jax.Array, dict]:
+    """Forward a block of S new tokens against the KV cache.
+
+    embeds: [B, S, D]; positions: [B, S]; cache: ring buffers; cache_len:
+    scalar int32 — tokens already in the cache (same for all rows; rows are
+    left-padded so shorter prompts have masked slots at the start, given by
+    kv_start: [B]).
+
+    causal_block=False -> the new block attends bidirectionally to itself and
+    everything in the cache (the reference's all-ones decode mask,
+    t2i_pipeline.py:206-216). causal_block=True -> standard causal prefill.
+
+    Returns (hidden [B, S, D], updated cache).
+    """
+    b, s, _ = embeds.shape
+    hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    max_len = cache["k"].shape[2]
+    cos, sin = _rope_at(cfg, positions)
+
+    new_len = cache_len + s
+    pos_idx = jnp.arange(max_len, dtype=jnp.int32)
+
+    if causal_block:
+        # key j visible to query i iff kv_start <= j <= cache_len + i
+        q_abs = cache_len + jnp.arange(s, dtype=jnp.int32)  # [S]
+        mask = (pos_idx[None, None, :] >= kv_start[:, None, None]) & (
+            pos_idx[None, None, :] <= q_abs[None, :, None]
+        )  # [B, S, max_len]
+        mask = mask[:, None]  # [B, 1, S, max_len]
+    else:
+        mask = (pos_idx[None, :] >= kv_start[:, None]) & (
+            pos_idx[None, :] < new_len
+        )  # [B, max_len]
+        mask = mask[:, None, None, :]
+
+    def layer(x, scanned):
+        lp, k_cache, v_cache = scanned
+        h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = rms_norm((h @ lp["q_proj"]).reshape(b, s, hq, hd), lp["q_norm"],
+                     cfg.rms_norm_eps)
+        k = rms_norm((h @ lp["k_proj"]).reshape(b, s, hkv, hd), lp["k_norm"],
+                     cfg.rms_norm_eps)
+        v = (h @ lp["v_proj"]).reshape(b, s, hkv, hd)
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
+                                               (0, cache_len, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
+                                               (0, cache_len, 0, 0))
+        attn = attention_xla(q, k_cache, v_cache, mask)
+        x = x + attn.reshape(b, s, hq * hd) @ lp["o_proj"]
+        h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _mlp(lp, h)
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, embeds, (params["layers"], cache["k"], cache["v"])
+    )
+    hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return hidden, {"k": new_k, "v": new_v}
+
+
+def embed_tokens(params: dict, token_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed_tokens"], token_ids, axis=0)
+
+
+def lm_logits(params: dict, cfg: Qwen3Config, hidden: jax.Array) -> jax.Array:
+    w = params.get("lm_head")
+    if w is None:
+        w = params["embed_tokens"].T
+    return (hidden @ w).astype(jnp.float32)

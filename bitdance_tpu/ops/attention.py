@@ -1,0 +1,353 @@
+"""Attention kernels.
+
+One kernel family covers every attention pattern in the reference:
+
+  - causal packed varlen (flash_attn_varlen_func, qwen3_packed_wrapper.py:71-90)
+  - block-causal "parallel prediction" masks (flex_attention + create_sparse_mask,
+    modeling/utils.py:22-62, qwen3_navit.py:87-95)
+  - plain causal / non-causal (flash_attn_func call sites)
+  - KV-cached block decode with an all-ones mask over valid keys
+    (t2i_pipeline.py:206-216)
+
+The mask model: every token carries two int32 ids,
+    doc_id   — packed-sample isolation (document mask)
+    block_id — non-decreasing "visibility block" index
+and attention is allowed iff  doc_q == doc_k  AND  block_k <= block_q.
+
+  * pure causal        -> block_id = position
+  * parallel blocks    -> tokens in the same parallel window share a block_id
+  * bidirectional      -> all tokens share one block_id
+This reproduces flex-attention's (causal | parallel_block) & document mask
+exactly (see tests/test_attention.py::test_mask_matches_reference_semantics).
+
+The Pallas kernel is a standard online-softmax flash attention with GQA,
+tiled (B, Hq, q_blocks, kv_blocks) with the kv axis as the sequential minor
+grid dimension. fp32 accumulation; bf16-friendly tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Mask building
+# ---------------------------------------------------------------------------
+
+def causal_ids(lengths_total: int) -> tuple[jax.Array, jax.Array]:
+    """(block_ids, doc_ids) for a single plain-causal sequence of given length."""
+    pos = jnp.arange(lengths_total, dtype=jnp.int32)
+    return pos, jnp.zeros((lengths_total,), jnp.int32)
+
+
+def packed_ids_from_segments(
+    sample_lens: list[int],
+    split_lens: list[int],
+    attn_modes: list[str],
+    parallel_num: int,
+    parallel_causal_num: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """Build (block_ids, doc_ids) for a packed sequence.
+
+    Mirrors create_sparse_mask (modeling/utils.py:22-62): each sample is a
+    document; each (split_len, mode) segment is either 'causal' (every token
+    its own block) or 'parallel' (first `parallel_causal_num` tokens causal,
+    then groups of `parallel_num` tokens share a block).
+
+    Host-side (python ints) — used by the data pipeline, not inside jit.
+    """
+    import numpy as np
+
+    total = sum(split_lens)
+    assert total == sum(sample_lens), "split_lens must tile sample_lens"
+    block_ids = np.zeros((total,), np.int32)
+    nxt = 0
+    off = 0
+    for length, mode in zip(split_lens, attn_modes):
+        if mode == "parallel":
+            ncausal = min(parallel_causal_num, length)
+            for i in range(ncausal):
+                block_ids[off + i] = nxt
+                nxt += 1
+            rem = length - ncausal
+            nwin = math.ceil(rem / parallel_num) if rem > 0 else 0
+            for wi in range(nwin):
+                s = off + ncausal + wi * parallel_num
+                e = min(off + ncausal + (wi + 1) * parallel_num, off + length)
+                block_ids[s:e] = nxt
+                nxt += 1
+        else:  # causal
+            for i in range(length):
+                block_ids[off + i] = nxt
+                nxt += 1
+        off += length
+
+    doc_ids = np.concatenate(
+        [np.full((l,), i, np.int32) for i, l in enumerate(sample_lens)]
+    )
+    return jnp.asarray(block_ids), jnp.asarray(doc_ids)
+
+
+def mask_from_ids(
+    q_block: jax.Array, q_doc: jax.Array, kv_block: jax.Array, kv_doc: jax.Array
+) -> jax.Array:
+    """Dense bool mask [Lq, Lk]: allowed iff same doc and kv block <= q block."""
+    return (q_doc[:, None] == kv_doc[None, :]) & (kv_block[None, :] <= q_block[:, None])
+
+
+# ---------------------------------------------------------------------------
+# Reference (XLA) attention — correctness baseline & small-shape path
+# ---------------------------------------------------------------------------
+
+def attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """Plain attention with fp32 softmax.
+
+    q: [B, Lq, Hq, D]; k/v: [B, Lk, Hkv, D]; mask: broadcastable to
+    [B, Hq, Lq, Lk] (True = attend). GQA handled by head repetition.
+    """
+    b, lq, hq, d = q.shape
+    _, lk, hkv, _ = k.shape
+    assert hq % hkv == 0
+    group = hq // hkv
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if group > 1:
+        kf = jnp.repeat(kf, group, axis=2)
+        vf = jnp.repeat(vf, group, axis=2)
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.where(l > 0, p / jnp.maximum(l, 1e-30), 0.0)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vf)
+    return o.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(
+    qb_ref, qd_ref, kb_ref, kd_ref,  # id refs: [1, block_q] / [1, block_k]
+    q_ref, k_ref, v_ref,             # [1, 1, block, D]
+    o_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, num_kv_blocks: int,
+):
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+    k = k_ref[0, 0, :, :].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, block_k]
+
+    qb = qb_ref[0, :]
+    qd = qd_ref[0, :]
+    kb = kb_ref[0, :]
+    kd = kd_ref[0, :]
+    mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_scr[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # mask again post-exp: a fully-masked row has s == m_new == NEG_INF and
+    # would otherwise produce exp(0) == 1 for every masked entry
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0, 0, :, :].astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_scr[:] = acc_scr[:] * corr + pv
+    m_scr[:] = m_new
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _finalize():
+        l = l_scr[:]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0, 0, :, :] = (acc_scr[:] / safe * (l > 0)).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_block_ids: jax.Array,
+    q_doc_ids: jax.Array,
+    kv_block_ids: jax.Array,
+    kv_doc_ids: jax.Array,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over the (block_id, doc_id) mask model.
+
+    q: [B, Lq, Hq, D]; k/v: [B, Lk, Hkv, D]; ids: [B, Lq] / [B, Lk] int32.
+    Sequences are padded internally to tile multiples; padded kv keys get
+    doc_id -2 (never matches), padded q rows doc_id -3 with zero output.
+    """
+    b, lq, hq, d = q.shape
+    _, lk, hkv, _ = k.shape
+    assert hq % hkv == 0
+    group = hq // hkv
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, max(_round_up(lq, 128), 128))
+    block_k = min(block_k, max(_round_up(lk, 128), 128))
+    lq_p = _round_up(lq, block_q)
+    lk_p = _round_up(lk, block_k)
+
+    qp = _pad_axis(q, 1, lq_p)
+    kp = _pad_axis(k, 1, lk_p)
+    vp = _pad_axis(v, 1, lk_p)
+    qb = _pad_axis(q_block_ids.astype(jnp.int32), 1, lq_p, 0)
+    qd = _pad_axis(q_doc_ids.astype(jnp.int32), 1, lq_p, -3)
+    kb = _pad_axis(kv_block_ids.astype(jnp.int32), 1, lk_p, 0)
+    kd = _pad_axis(kv_doc_ids.astype(jnp.int32), 1, lk_p, -2)
+
+    # [B, L, H, D] -> [B, H, L, D] for head-major tiling
+    qp = jnp.transpose(qp, (0, 2, 1, 3))
+    kp = jnp.transpose(kp, (0, 2, 1, 3))
+    vp = jnp.transpose(vp, (0, 2, 1, 3))
+
+    n_q = lq_p // block_q
+    n_k = lk_p // block_k
+    grid = (b, hq, n_q, n_k)
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, num_kv_blocks=n_k
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda bi, h, i, j: (bi, i)),
+            pl.BlockSpec((1, block_q), lambda bi, h, i, j: (bi, i)),
+            pl.BlockSpec((1, block_k), lambda bi, h, i, j: (bi, j)),
+            pl.BlockSpec((1, block_k), lambda bi, h, i, j: (bi, j)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda bi, h, i, j, g=group: (bi, h // g, j, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda bi, h, i, j, g=group: (bi, h // g, j, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hq, lq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * lq_p * lk_p * d,
+            bytes_accessed=(b * hq * lq_p * d + 2 * b * hkv * lk_p * d) * q.dtype.itemsize,
+            transcendentals=b * hq * lq_p * lk_p,
+        ),
+        interpret=interpret,
+    )(qb, qd, kb, kd, qp, kp, vp)
+
+    out = jnp.transpose(out, (0, 2, 1, 3))[:, :lq]
+    return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_axis(x: jax.Array, axis: int, target: int, value=0) -> jax.Array:
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# Dispatching front-end
+# ---------------------------------------------------------------------------
+
+def masked_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_block_ids: jax.Array,
+    q_doc_ids: jax.Array,
+    kv_block_ids: jax.Array,
+    kv_doc_ids: jax.Array,
+    scale: float | None = None,
+    implementation: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Attention under the (block, doc) mask model; picks pallas or XLA.
+
+    The XLA path materializes the dense mask — only for small shapes/tests.
+    """
+    if implementation == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        big = q.shape[1] * k.shape[1] > 256 * 256
+        implementation = "pallas" if (on_tpu and big) else "xla"
+    if implementation == "pallas":
+        return flash_attention(
+            q, k, v, q_block_ids, q_doc_ids, kv_block_ids, kv_doc_ids,
+            scale=scale, interpret=interpret,
+        )
+    mask = jax.vmap(mask_from_ids)(q_block_ids, q_doc_ids, kv_block_ids, kv_doc_ids)
+    return attention_xla(q, k, v, mask[:, None], scale=scale)
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    kv_valid_len: jax.Array,
+    scale: float | None = None,
+) -> jax.Array:
+    """KV-cached block decode: q attends to all cache positions < kv_valid_len.
+
+    Matches the reference's all-ones decode mask (t2i_pipeline.py:206-216) —
+    the freshly appended block is bidirectional, earlier context is fully
+    visible. q: [B, Lq, Hq, D]; caches: [B, max_len, Hkv, D];
+    kv_valid_len: [B] int32 (count of valid cache entries, incl. the block).
+    """
+    b, max_len = k_cache.shape[0], k_cache.shape[1]
+    pos = jnp.arange(max_len, dtype=jnp.int32)
+    mask = pos[None, :] < kv_valid_len[:, None]  # [B, max_len]
+    return attention_xla(q, k_cache, v_cache, mask[:, None, None, :], scale=scale)
