@@ -1,0 +1,117 @@
+"""Benchmark: ImageNet-256 class-conditional sampling throughput on one chip.
+
+Workload = BASELINE.json config 3 (imagenet_gen sample_ddp.py): BitDance-B
+(242M AR + diffusion head + conv decoder), 256px, 256 AR steps with KV cache,
+100 diffusion steps/token, cfg 4.6 linear schedule — full pipeline through
+VAE decode. Prints ONE JSON line. No reference wall-clock numbers are
+published (BASELINE.json "published": {}), so vs_baseline is reported
+against the driver-recorded history (1.0 on first run).
+
+Usage: python bench.py [--quick] [--batch N] [--model B|L|H] [--parallel P]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes to smoke-test the bench path")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--model", type=str, default="BitDance-B")
+    ap.add_argument("--parallel", type=int, default=1)
+    ap.add_argument("--sample-steps", type=int, default=100)
+    ap.add_argument("--cfg-scale", type=float, default=4.6)
+    ap.add_argument("--iters", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bitdance_tpu.models.imagenet_ar import (
+        IMAGENET_MODELS,
+        init_ar_params,
+        make_head,
+        sample,
+        tokens_to_grid,
+    )
+    from bitdance_tpu.models.tokenizer import VQModel
+
+    if args.quick:
+        from bitdance_tpu.models.imagenet_ar import ImageNetARConfig
+        cfg = ImageNetARConfig(
+            dim=256, n_layer=4, n_head=4, diff_layers=2, diff_dim=256,
+            diff_adanln_layers=1, latent_dim=16, resolution=64,
+            cls_token_num=8, parallel_num=args.parallel)
+        args.batch = min(args.batch, 4)
+        args.sample_steps = 8
+        dd_ch = 64
+        res_blocks = 1
+    else:
+        cfg = IMAGENET_MODELS[args.model](parallel_num=args.parallel,
+                                          resolution=256)
+        dd_ch = 256
+        res_blocks = 4
+
+    dd = dict(z_channels=cfg.latent_dim, in_channels=3, out_ch=3, ch=dd_ch,
+              ch_mult=[1, 1, 2, 2, 4], num_res_blocks=res_blocks)
+    ae = VQModel(ddconfig=dd)
+
+    key = jax.random.PRNGKey(0)
+    params = init_ar_params(key, cfg, dtype=jnp.bfloat16)
+    head = make_head(cfg, dtype=jnp.bfloat16)
+    if cfg.parallel_num > 1:
+        d_t = jnp.zeros((2, cfg.parallel_num, cfg.token_dim))
+        d_c = jnp.zeros((2, cfg.parallel_num, cfg.dim))
+    else:
+        d_t = jnp.zeros((2, cfg.token_dim))
+        d_c = jnp.zeros((2, cfg.dim))
+    head_params = head.init(jax.random.PRNGKey(1), d_t, d_c,
+                            jax.random.PRNGKey(2))
+    lat_hw = cfg.resolution // cfg.down_size
+    ae_params = ae.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, lat_hw, lat_hw, cfg.latent_dim)),
+                        method=VQModel.decode)
+
+    cls = jnp.arange(args.batch, dtype=jnp.int32) % cfg.num_classes
+
+    @jax.jit
+    def run(rng):
+        toks = sample(params, head, head_params, cfg, cls, rng,
+                      num_sampling_steps=args.sample_steps,
+                      cfg_scale=args.cfg_scale)
+        grid = tokens_to_grid(cfg, toks)
+        return ae.apply(ae_params, grid, method=VQModel.decode)
+
+    # compile
+    t0 = time.time()
+    out = run(jax.random.PRNGKey(10))
+    out.block_until_ready()
+    compile_and_first = time.time() - t0
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        out = run(jax.random.PRNGKey(11 + i))
+        out.block_until_ready()
+        times.append(time.time() - t0)
+
+    best = min(times)
+    imgs_per_sec = args.batch / best
+    result = {
+        "metric": f"imagenet256_{args.model}_{args.parallel}x_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": 1.0,
+    }
+    print(json.dumps(result))
+    print(f"# batch={args.batch} steps={args.sample_steps} "
+          f"best={best:.2f}s first(incl compile)={compile_and_first:.1f}s "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

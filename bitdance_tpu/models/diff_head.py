@@ -92,18 +92,23 @@ class WindowAttention(nn.Module):
 
 
 class TransBlock(nn.Module):
-    """adaLN-modulated attention + FFN block (flow_head_parallel_x.py:222-252)."""
+    """adaLN-modulated attention + FFN block (flow_head_parallel_x.py:222-252).
+
+    attn_head_dim: 128 for the T2I head (flow_head_parallel_x.py:227), 64 for
+    the ImageNet parallel head (diff_head_parallel.py TransBlock).
+    """
 
     channels: int
     use_swiglu: bool = False
+    attn_head_dim: int = 128
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mods):
         scale1, shift1, gate1, scale2, shift2, gate2 = mods
         h = LayerNormAffine(self.channels, name="norm1")(x) * (1 + scale1) + shift1
-        h = WindowAttention(self.channels, self.channels // 128, dtype=self.dtype,
-                            name="attn")(h)
+        h = WindowAttention(self.channels, self.channels // self.attn_head_dim,
+                            dtype=self.dtype, name="attn")(h)
         x = x + h * gate1
         h = LayerNormAffine(self.channels, name="norm2")(x) * (1 + scale2) + shift2
         hidden = int(self.channels * 1.5)
@@ -167,6 +172,7 @@ class DiffNet(nn.Module):
     attention: bool = True
     use_swiglu: bool = False
     bounded_output: bool | None = None
+    attn_head_dim: int = 128
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -199,6 +205,7 @@ class DiffNet(nn.Module):
                 mods = jnp.split(ada_lns[i // switch_freq](y), n_mods, axis=-1)
             if self.attention:
                 h = TransBlock(self.model_channels, self.use_swiglu,
+                               attn_head_dim=self.attn_head_dim,
                                dtype=self.dtype, name=f"block_{i}")(h, mods)
             else:
                 h = MlpResBlock(self.model_channels, dtype=self.dtype,
@@ -228,6 +235,8 @@ class DiffHead(nn.Module):
     use_swiglu: bool = False
     attention: bool = True
     per_token_loss: bool = True
+    bounded_output: bool | None = None
+    attn_head_dim: int = 128
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -239,6 +248,8 @@ class DiffHead(nn.Module):
             num_ada_ln_blocks=self.depth_adanln,
             attention=self.attention,
             use_swiglu=self.use_swiglu,
+            bounded_output=self.bounded_output,
+            attn_head_dim=self.attn_head_dim,
             dtype=self.dtype,
         )
 

@@ -1,0 +1,235 @@
+"""Text-to-image generation pipeline (next-patch diffusion decode).
+
+TPU-native re-design of BitDanceT2IPipeline.gen_image (t2i_pipeline.py:157-272):
+
+  - the ENTIRE generation — two-phase prefill, 64 AR decode steps, each with a
+    50-step diffusion-head sampler — is one jitted program per
+    (image-bucket, prompt-bucket) pair: outer `lax.scan` over AR steps, inner
+    `lax.scan` inside the sampler. Zero host round-trips in the hot loop.
+  - cond and uncond CFG streams are BATCHED into one forward (rows
+    [cond*n; uncond*n], left-padded prompts with per-row kv_start masks)
+    instead of the reference's two sequential LLM calls per step.
+  - decode attention uses the all-ones-over-valid-keys mask
+    (t2i_pipeline.py:206-216) via the cached block-decode path.
+
+Sequence layout per row (left-padded to prompt bucket P):
+  [pad .. pad, prompt, vision_start, res_h, res_w, query_1..query_{p-1},
+   image tokens (h*w of them, p per step)]
+The first prefill pass is causal over [.., prompt, vision_start, res_h];
+the second covers [res_w, queries] bidirectionally (they form the first
+parallel block, whose hidden states condition the first 64 image tokens).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bitdance_tpu.models import qwen3 as q3
+from bitdance_tpu.models.connector import MLPConnector
+from bitdance_tpu.models.diff_head import DiffHead
+from bitdance_tpu.models.tokenizer import VQModel, tokens_to_latents
+from bitdance_tpu.ops.quantize import sign_quantize
+from bitdance_tpu.ops.rotary import pos_embed_2d, sincos_1d_table
+
+
+@dataclasses.dataclass
+class T2IModelBundle:
+    """All model defs + params for generation."""
+
+    llm_cfg: q3.Qwen3Config
+    llm_params: dict
+    ae: VQModel
+    ae_params: dict
+    head: DiffHead
+    head_params: dict
+    projector: MLPConnector
+    projector_params: dict
+    parallel_num: int
+    hidden_size: int
+    vae_patch_size: int
+    pe_max_len: int = 4096
+
+    @property
+    def ps(self) -> int:
+        return int(self.parallel_num ** 0.5)
+
+
+def build_pos_table(bundle: T2IModelBundle) -> jax.Array:
+    """1D sincos table [pe_max_len // vae_patch_size, hidden//2] (t2i_pipeline.py:79-83)."""
+    max_len = bundle.pe_max_len // bundle.vae_patch_size
+    return sincos_1d_table(bundle.hidden_size // 2, max_len)
+
+
+def generate_tokens(
+    bundle: T2IModelBundle,
+    prompt_ids: jax.Array,       # [2n, P] left-padded (cond rows then uncond)
+    prompt_pad: jax.Array,       # [2n] number of left pads per row
+    img_start_ids: jax.Array,    # [2 + parallel_num] vision_start,res_h,res_w,queries
+    pos_embed_for_diff: jax.Array,  # [h*w, hidden] ps-raster ordered
+    rng: jax.Array,
+    *,
+    latent_h: int,
+    latent_w: int,
+    num_images: int,
+    guidance_scale: float,
+    num_sampling_steps: int,
+) -> jax.Array:
+    """Run prefill + AR decode; returns ±1 tokens [n, h*w, z_channels].
+
+    Shapes are static given (P, latent_h, latent_w, num_images); jit the
+    caller over these buckets.
+    """
+    cfg = bundle.llm_cfg
+    p = bundle.parallel_num
+    n2 = 2 * num_images
+    P = prompt_ids.shape[1]
+    max_len = latent_h * latent_w
+    num_steps = max_len // p
+    cache_max = P + 2 + p + max_len
+
+    # ---- embeddings -------------------------------------------------------
+    prompt_emb = q3.embed_tokens(bundle.llm_params, prompt_ids)  # [2n, P, D]
+    start_emb = q3.embed_tokens(bundle.llm_params, img_start_ids)  # [2+p, D]
+    start_emb = jnp.broadcast_to(start_emb[None], (n2, 2 + p, start_emb.shape[-1]))
+    seq_emb = jnp.concatenate([prompt_emb, start_emb], axis=1)  # [2n, P+2+p, D]
+
+    # positions: 0-based from true prompt start (left pads get clamped 0)
+    idx = jnp.arange(P + 2 + p, dtype=jnp.int32)[None]
+    positions = jnp.maximum(idx - prompt_pad[:, None], 0)
+
+    cache = q3.init_kv_cache(cfg, n2, cache_max, dtype=prompt_emb.dtype)
+    kv_start = prompt_pad
+
+    # ---- prefill pass 1: causal over [prompt, vision_start, res_h] --------
+    pre1 = P + 2
+    _, cache = q3.qwen3_forward_cached(
+        bundle.llm_params, cfg, seq_emb[:, :pre1], positions[:, :pre1],
+        cache, jnp.int32(0), kv_start, causal_block=True,
+    )
+    # ---- prefill pass 2: [res_w, queries] bidirectional block --------------
+    hidden, cache = q3.qwen3_forward_cached(
+        bundle.llm_params, cfg, seq_emb[:, pre1:], positions[:, pre1:],
+        cache, jnp.int32(pre1), kv_start, causal_block=False,
+    )  # [2n, p, D]
+
+    pos_diff = pos_embed_for_diff.astype(hidden.dtype)  # [h*w, D]
+
+    def decode_step(carry, step):
+        cache, hidden, key = carry
+        key, k_samp = jax.random.split(key)
+        pe = jax.lax.dynamic_slice(
+            pos_diff, (step * p, 0), (p, pos_diff.shape[1])
+        )  # [p, D]
+        h_fused = hidden + pe[None]
+
+        pred = bundle.head.apply(
+            bundle.head_params, h_fused, k_samp,
+            jnp.float32(guidance_scale), num_sampling_steps, cfg_mult=2,
+            method=DiffHead.sample,
+        )  # [n, p, z]
+        tokens = sign_quantize(pred)
+
+        emb = bundle.projector.apply(bundle.projector_params, tokens)
+        emb = (emb + pe[None]).astype(hidden.dtype)
+        model_input = jnp.concatenate([emb, emb], axis=0)  # cond/uncond share
+
+        cache_len = pre1 + p + step * p
+        pos = (cache_len + jnp.arange(p, dtype=jnp.int32))[None] - prompt_pad[:, None]
+        new_hidden, cache = q3.qwen3_forward_cached(
+            bundle.llm_params, cfg, model_input, pos,
+            cache, cache_len, kv_start, causal_block=False,
+        )
+        return (cache, new_hidden, key), tokens
+
+    (_, _, _), all_tokens = jax.lax.scan(
+        decode_step, (cache, hidden, rng), jnp.arange(num_steps, dtype=jnp.int32)
+    )  # [num_steps, n, p, z]
+
+    z = all_tokens.shape[-1]
+    out = jnp.transpose(all_tokens, (1, 0, 2, 3)).reshape(num_images, max_len, z)
+    return out
+
+
+def decode_image(bundle: T2IModelBundle, tokens: jax.Array,
+                 latent_h: int, latent_w: int) -> jax.Array:
+    """±1 tokens [n, h*w, z] -> images [n, H, W, 3] in [-1, 1] (t2i_pipeline.py:274-282)."""
+    latents = tokens_to_latents(tokens, latent_h, latent_w, ps=bundle.ps)
+    return bundle.ae.apply(bundle.ae_params, latents, method=VQModel.decode)
+
+
+class T2IPipeline:
+    """User-facing pipeline: prompt string -> PIL-ready uint8 images.
+
+    Equivalent surface to BitDanceT2IPipeline.generate (t2i_pipeline.py:109-155).
+    """
+
+    PROMPT_BUCKETS = (64, 128, 256, 512)
+
+    def __init__(self, bundle: T2IModelBundle, tokenizer=None):
+        self.bundle = bundle
+        self.tokenizer = tokenizer
+        self.pos_table = build_pos_table(bundle)
+        self._jitted = {}
+
+    def _compiled(self, P, latent_h, latent_w, n, cfg_scale, steps):
+        key = (P, latent_h, latent_w, n, float(cfg_scale), steps)
+        if key not in self._jitted:
+            fn = functools.partial(
+                generate_tokens, self.bundle,
+                latent_h=latent_h, latent_w=latent_w, num_images=n,
+                guidance_scale=float(cfg_scale), num_sampling_steps=steps,
+            )
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def generate(
+        self,
+        prompt: str,
+        height: int = 1024,
+        width: int = 1024,
+        num_sampling_steps: int = 50,
+        guidance_scale: float = 7.5,
+        num_images: int = 1,
+        seed: int = 1234,
+    ) -> np.ndarray:
+        """Returns uint8 images [n, H, W, 3]."""
+        from bitdance_tpu.data.special_tokens import (
+            chatml_prompts,
+            image_start_ids,
+        )
+
+        b = self.bundle
+        vp = b.vae_patch_size
+        latent_h, latent_w = height // vp, width // vp
+        cond_text, uncond_text = chatml_prompts(prompt)
+        cond_ids = self.tokenizer.encode(cond_text)
+        uncond_ids = self.tokenizer.encode(uncond_text)
+        start_ids = image_start_ids(self.tokenizer, latent_h, latent_w,
+                                    b.parallel_num)
+
+        P = next(pb for pb in self.PROMPT_BUCKETS if pb >= len(cond_ids))
+        rows, pads = [], []
+        for ids in [cond_ids] * num_images + [uncond_ids] * num_images:
+            pad = P - len(ids)
+            rows.append([0] * pad + list(ids))
+            pads.append(pad)
+
+        pe = pos_embed_2d(self.pos_table, latent_h, latent_w, ps=b.ps)
+        fn = self._compiled(P, latent_h, latent_w, num_images,
+                            guidance_scale, num_sampling_steps)
+        tokens = fn(
+            jnp.asarray(rows, jnp.int32),
+            jnp.asarray(pads, jnp.int32),
+            jnp.asarray(start_ids, jnp.int32),
+            pe,
+            jax.random.PRNGKey(seed),
+        )
+        img = decode_image(b, tokens, latent_h, latent_w)
+        img = np.asarray(jnp.clip(127.5 * img.astype(jnp.float32) + 128.0, 0, 255))
+        return img.astype(np.uint8)

@@ -1,0 +1,147 @@
+"""Checkpointing: orbax sharded save/resume + release-format export.
+
+TPU-native equivalent of the reference's three checkpoint families
+(SURVEY.md §5): plain epoch checkpoints (imagenet_gen/train.py:388-405),
+FSDP sharded DCP saves with per-rank optimizer shards and keep-last-N
+rotation (train/fsdp_utils.py:208-302), and the released safetensors model
+directory (t2i_pipeline.py:48-74). Orbax handles sharded multi-host
+coordination; `data_status` (dataloader position) rides along so training
+resumes mid-epoch (fsdp_utils.py:153-159, 356-361).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from bitdance_tpu.train.optim import TrainState
+
+
+class CheckpointManager:
+    """Sharded step checkpoints with keep-last-N rotation and auto-resume."""
+
+    def __init__(self, directory: str, keep_last_n: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep_last_n, create=True, enable_async_checkpointing=False,
+            ),
+        )
+
+    def save(self, step: int, state: TrainState,
+             data_status: dict | None = None) -> None:
+        items = {"state": ocp.args.StandardSave(_as_dict(state))}
+        if data_status is not None:
+            items["data_status"] = ocp.args.JsonSave(data_status)
+        self.manager.save(step, args=ocp.args.Composite(**items))
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self.manager.latest_step()
+
+    def restore(self, state_like: TrainState, step: int | None = None,
+                with_data_status: bool = False):
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None, None, None
+        target = _as_dict(state_like)
+        items = {"state": ocp.args.StandardRestore(target)}
+        if with_data_status:
+            items["data_status"] = ocp.args.JsonRestore()
+        restored = self.manager.restore(step, args=ocp.args.Composite(**items))
+        state = _from_dict(restored["state"], state_like)
+        data_status = restored.get("data_status") if with_data_status else None
+        return state, step, data_status
+
+    def close(self):
+        self.manager.close()
+
+
+def _as_dict(state: TrainState) -> dict:
+    return {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "ema_params": state.ema_params if state.ema_params is not None else {},
+        "step": state.step,
+    }
+
+
+def _from_dict(d: dict, like: TrainState) -> TrainState:
+    return TrainState(
+        params=d["params"],
+        opt_state=jax.tree.map(lambda _, v: v, like.opt_state, d["opt_state"]),
+        ema_params=d["ema_params"] if like.ema_params is not None else None,
+        step=d["step"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Release-format export (safetensors model directory)
+# ---------------------------------------------------------------------------
+
+def _flatten_torch_style(tree: Any, torch_rename=None, prefix="") -> dict:
+    """Flax pytree -> torch-style flat dict (kernel->weight with transposes)."""
+    out = {}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        keys = [k.key for k in path]
+        arr = np.asarray(leaf, np.float32)
+        leaf_name = keys[-1]
+        if leaf_name == "kernel":
+            name, arr = "weight", (arr.transpose(3, 2, 0, 1) if arr.ndim == 4
+                                   else arr.T)
+        else:
+            name = leaf_name
+        key = ".".join(keys[:-1] + [name])
+        if torch_rename:
+            key = torch_rename(key)
+        out[prefix + key] = arr
+    return out
+
+
+def export_release_dir(
+    out_dir: str,
+    ae_params: dict | None = None,
+    head_params: dict | None = None,
+    projector_params: dict | None = None,
+    configs: dict[str, dict] | None = None,
+) -> None:
+    """Write the reference release layout: ae/vision_head/projector
+    safetensors + JSON configs (inverse of bitdance_tpu/io/torch_import)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def head_rename(key: str) -> str:
+        key = re.sub(r"\bblock_(\d+)\b", r"res_blocks.\1", key)
+        key = re.sub(r"\bada_ln_(\d+)\b", r"ada_ln_blocks.\1", key)
+        key = re.sub(r"\bmlp_(\d+)\b", r"mlp.\1", key)
+        return key
+
+    def ae_rename(key: str) -> str:
+        key = re.sub(r"\b(down|up)_(\d+)_block_(\d+)\b", r"\1.\2.block.\3", key)
+        key = re.sub(r"\b(down|up)_(\d+)_(downsample|upsample)\b", r"\1.\2.\3", key)
+        key = re.sub(r"\b(mid_block|adaptive)_(\d+)\b", r"\1.\2", key)
+        return key
+
+    if ae_params is not None:
+        save_file(_flatten_torch_style(ae_params["params"], ae_rename),
+                  os.path.join(out_dir, "ae.safetensors"))
+    if head_params is not None:
+        save_file(_flatten_torch_style(head_params["params"], head_rename),
+                  os.path.join(out_dir, "vision_head.safetensors"))
+    if projector_params is not None:
+        save_file(_flatten_torch_style(projector_params["params"]),
+                  os.path.join(out_dir, "projector.safetensors"))
+    for name, cfg in (configs or {}).items():
+        with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
+            json.dump(cfg, f, indent=2)
