@@ -69,12 +69,12 @@ def main():
     else:
         d_t = jnp.zeros((2, cfg.token_dim))
         d_c = jnp.zeros((2, cfg.dim))
-    head_params = head.init(jax.random.PRNGKey(1), d_t, d_c,
-                            jax.random.PRNGKey(2))
+    head_params = jax.jit(head.init)(jax.random.PRNGKey(1), d_t, d_c,
+                                     jax.random.PRNGKey(2))
     lat_hw = cfg.resolution // cfg.down_size
-    ae_params = ae.init(jax.random.PRNGKey(3),
-                        jnp.zeros((1, lat_hw, lat_hw, cfg.latent_dim)),
-                        method=VQModel.decode)
+    ae_params = jax.jit(
+        lambda k, z: ae.init(k, z, method=VQModel.decode)
+    )(jax.random.PRNGKey(3), jnp.zeros((1, lat_hw, lat_hw, cfg.latent_dim)))
 
     cls = jnp.arange(args.batch, dtype=jnp.int32) % cfg.num_classes
 

@@ -112,8 +112,14 @@ def config_h(**kw) -> ImageNetARConfig:
                             diff_dim=1280, diff_adanln_layers=3, **kw)
 
 
+def config_s(**kw) -> ImageNetARConfig:
+    """Small config for smoke tests / CI — ours, not a reference size."""
+    return ImageNetARConfig(dim=256, n_layer=4, n_head=4, diff_layers=2,
+                            diff_dim=256, diff_adanln_layers=1, **kw)
+
+
 IMAGENET_MODELS = {"BitDance-B": config_b, "BitDance-L": config_l,
-                   "BitDance-H": config_h}
+                   "BitDance-H": config_h, "BitDance-S": config_s}
 
 
 def make_head(cfg: ImageNetARConfig, dtype: Any = jnp.float32) -> DiffHead:
@@ -139,9 +145,15 @@ def make_head(cfg: ImageNetARConfig, dtype: Any = jnp.float32) -> DiffHead:
     )
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(1, 2))
 def init_ar_params(key: jax.Array, cfg: ImageNetARConfig,
                    dtype: Any = jnp.float32) -> dict:
-    """Init AR transformer params (head params are separate, via make_head)."""
+    """Init AR transformer params (head params are separate, via make_head).
+
+    Jitted as a whole — eager initializer dispatch is tunnel-bound."""
     keys = jax.random.split(key, 10)
     L, D = cfg.n_layer, cfg.dim
     Hf = cfg.ffn_hidden

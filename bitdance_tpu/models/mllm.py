@@ -101,7 +101,7 @@ def init_mllm_params(key: jax.Array, cfg: MLLMConfig,
     proj_params = projector.init(k2, jnp.zeros((1, cfg.z_channels)))
     head = make_head(cfg, dtype)
     p = cfg.parallel_num
-    head_params = head.init(
+    head_params = jax.jit(head.init)(
         k3, jnp.zeros((2, p, cfg.z_channels)),
         jnp.zeros((2, p, cfg.llm.hidden_size)), k4)
     return {"llm": llm, "projector": proj_params, "head": head_params}

@@ -60,9 +60,17 @@ class Qwen3Config:
         )
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def init_qwen3_params(key: jax.Array, cfg: Qwen3Config,
                       dtype: Any = jnp.float32) -> dict:
-    """Random-init parameter pytree (layer tensors stacked on axis 0)."""
+    """Random-init parameter pytree (layer tensors stacked on axis 0).
+
+    Jitted as a whole: eager per-op dispatch over the device tunnel makes
+    unfused initializers pathologically slow (see .claude/skills/verify).
+    """
     L, D = cfg.num_hidden_layers, cfg.hidden_size
     hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     I = cfg.intermediate_size

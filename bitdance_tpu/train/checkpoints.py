@@ -102,7 +102,9 @@ def _flatten_torch_style(tree: Any, torch_rename=None, prefix="") -> dict:
         key = ".".join(keys[:-1] + [name])
         if torch_rename:
             key = torch_rename(key)
-        out[prefix + key] = arr
+        # safetensors serializes the raw buffer; transposed views must be
+        # materialized or shape metadata and bytes disagree
+        out[prefix + key] = np.ascontiguousarray(arr)
     return out
 
 

@@ -57,7 +57,7 @@ def init_train_state(key: jax.Array, cfg: ImageNetARConfig,
     else:
         d_t = jnp.zeros((2, cfg.token_dim))
         d_c = jnp.zeros((2, cfg.dim))
-    head_params = head.init(k2, d_t, d_c, k3)
+    head_params = jax.jit(head.init)(k2, d_t, d_c, k3)
 
     all_params = {"ar": params, "head": head_params}
     tx = make_tx(all_params, tcfg)
