@@ -86,17 +86,24 @@ def main():
         grid = tokens_to_grid(cfg, toks)
         return ae.apply(ae_params, grid, method=VQModel.decode)
 
+    import numpy as _np
+
+    def fence(x):
+        # on the axon tunnel block_until_ready resolves before device
+        # completion; a host readback is the only reliable timing fence
+        return float(jnp.sum(x[:, ::64, ::64].astype(jnp.float32)))
+
     # compile
     t0 = time.time()
     out = run(jax.random.PRNGKey(10))
-    out.block_until_ready()
+    fence(out)
     compile_and_first = time.time() - t0
 
     times = []
     for i in range(args.iters):
         t0 = time.time()
         out = run(jax.random.PRNGKey(11 + i))
-        out.block_until_ready()
+        fence(out)
         times.append(time.time() - t0)
 
     best = min(times)

@@ -1,0 +1,97 @@
+"""Micro-benchmark: Pallas flash attention vs XLA attention on TPU.
+
+Workload = the 14B packed-training attention (SURVEY.md §3.2): ~33k packed
+tokens, 40 q heads / 8 kv heads, head_dim 128, bf16, the
+(causal | parallel-block) & document mask. Reports achieved TFLOP/s
+(counting only the unmasked half like flash-attn convention does not —
+we report raw 4*L^2*D*H flops and wall time; the tile-skip win shows up
+as higher apparent TFLOP/s).
+
+Usage: python benchmarks/bench_attention.py [--seqlen 8192] [--heads 16]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seqlen", type=int, default=8192)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--kv-heads", type=int, default=8)
+    ap.add_argument("--head-dim", type=int, default=128)
+    ap.add_argument("--parallel-num", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bitdance_tpu.ops.attention import (
+        attention_xla,
+        flash_attention,
+        mask_from_ids,
+        packed_ids_from_segments,
+    )
+
+    L = args.seqlen
+    # two packed samples, each: short text (causal) + image span (parallel)
+    text = 256
+    img = (L // 2 - text) // args.parallel_num * args.parallel_num
+    pad = L - 2 * (text + img)
+    sample_lens = [text + img, text + img + pad]
+    split_lens = [text, img, text, img + pad]
+    modes = ["causal", "parallel", "causal", "parallel"]
+    block, doc = packed_ids_from_segments(sample_lens, split_lens, modes,
+                                          args.parallel_num)
+    block, doc = block[None], doc[None]
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (1, L, args.heads, args.head_dim), jnp.bfloat16)
+    k = jax.random.normal(key, (1, L, args.kv_heads, args.head_dim), jnp.bfloat16)
+    v = jax.random.normal(key, (1, L, args.kv_heads, args.head_dim), jnp.bfloat16)
+
+    # chain iterations with a data dependency inside one jit so the tunnel
+    # cannot pipeline/elide them; per-call time = total / iters
+    def chain(fn_one):
+        def run(q, *rest):
+            def body(qq, _):
+                out = fn_one(qq, *rest)
+                return qq + 1e-6 * out.astype(qq.dtype), out
+            _, outs = jax.lax.scan(body, q, None, length=args.iters)
+            return outs[-1]
+        return jax.jit(run)
+
+    flash = chain(lambda q, k, v, qb, qd, kb, kd: flash_attention(
+        q, k, v, qb, qd, kb, kd))
+    xla = chain(lambda q, k, v, m: attention_xla(q, k, v, m))
+
+    def timeit(fn, *a):
+        out = fn(*a)
+        _ = float(jnp.sum(out.astype(jnp.float32)))  # compile + forced readback
+        t0 = time.perf_counter()
+        out = fn(*a)
+        # NOTE: on the axon tunnel block_until_ready resolves before device
+        # completion; a host readback is the only reliable fence
+        _ = float(jnp.sum(out.astype(jnp.float32)))
+        return (time.perf_counter() - t0) / args.iters, out
+
+    t_flash, o_flash = timeit(flash, q, k, v, block, doc, block, doc)
+
+    flops = 4 * L * L * args.head_dim * args.heads
+    print(f"flash:  {t_flash*1e3:8.2f} ms   {flops/t_flash/1e12:6.2f} TFLOP/s (raw)")
+
+    if L <= 8192:
+        mask = jax.vmap(mask_from_ids)(block, doc, block, doc)[:, None]
+        t_xla, o_xla = timeit(xla, q, k, v, mask)
+        err = float(jnp.max(jnp.abs(o_flash.astype(jnp.float32)
+                                    - o_xla.astype(jnp.float32))))
+        print(f"xla:    {t_xla*1e3:8.2f} ms   {flops/t_xla/1e12:6.2f} TFLOP/s (raw)")
+        print(f"speedup: {t_xla/t_flash:.2f}x   max|diff|={err:.4f}")
+
+
+if __name__ == "__main__":
+    main()

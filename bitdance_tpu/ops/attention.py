@@ -162,33 +162,47 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
-    k = k_ref[0, 0, :, :].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [block_q, block_k]
-
     qb = qb_ref[0, :]
     qd = qd_ref[0, :]
     kb = kb_ref[0, :]
     kd = kd_ref[0, :]
-    mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
-    s = jnp.where(mask, s, NEG_INF)
 
-    m_prev = m_scr[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    # mask again post-exp: a fully-masked row has s == m_new == NEG_INF and
-    # would otherwise produce exp(0) == 1 for every masked entry
-    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-    corr = jnp.exp(m_prev - m_new)
-    l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[0, 0, :, :].astype(jnp.float32)
-    pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    acc_scr[:] = acc_scr[:] * corr + pv
-    m_scr[:] = m_new
+    # Conservative tile skip: with allowed = (doc_q == doc_k) & (kb <= qb),
+    # a tile is provably all-masked when every kv block id exceeds every q
+    # block id, or the doc-id ranges are disjoint. Sound for arbitrary id
+    # values (ranges only get conservative when unsorted), and it prunes
+    # ~half the tiles for causal masks and most cross-document tiles for
+    # packed training batches.
+    q_blk_max = jnp.max(qb)
+    kv_blk_min = jnp.min(kb)
+    doc_disjoint = (jnp.min(kd) > jnp.max(qd)) | (jnp.max(kd) < jnp.min(qd))
+    live = (kv_blk_min <= q_blk_max) & jnp.logical_not(doc_disjoint)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+        k = k_ref[0, 0, :, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+
+        mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # mask again post-exp: a fully-masked row has s == m_new == NEG_INF
+        # and would otherwise produce exp(0) == 1 for every masked entry
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, 0, :, :].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_scr[:] = acc_scr[:] * corr + pv
+        m_scr[:] = m_new
 
     @pl.when(j == num_kv_blocks - 1)
     def _finalize():
