@@ -63,6 +63,22 @@ _JOIN_PATTERNS = [
 ]
 
 
+def remap_ema_state(state: Mapping[str, np.ndarray]) -> dict:
+    """Prefer EMA weights: 'model_ema.<key-sans-dots>' replaces '<key>'.
+
+    Matches the UniWeTok checkpoint loader (autoencoder_uni.py:647-670),
+    whose EMA entries flatten the dotted key. Non-EMA keys without an EMA
+    twin pass through; 'model_ema.*' entries are dropped from the result.
+    """
+    out = {}
+    for k, v in state.items():
+        if k.startswith("model_ema."):
+            continue
+        ema_k = "model_ema." + k.replace(".", "")
+        out[k] = state.get(ema_k, v)
+    return out
+
+
 def convert_ae_state(state: Mapping[str, np.ndarray], dtype=jnp.float32) -> dict:
     """ae.safetensors (autoencoder.py VQModel state dict) -> flax params."""
     params: dict = {}
