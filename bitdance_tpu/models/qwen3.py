@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from bitdance_tpu.ops.attention import attention_xla, masked_attention
+from bitdance_tpu.ops.decode_attention import windowed_decode_attention
 from bitdance_tpu.ops.norms import rms_norm
 from bitdance_tpu.ops.rotary import apply_rope_half
 
@@ -106,8 +107,11 @@ def init_qwen3_params(key: jax.Array, cfg: Qwen3Config,
 
 def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int,
                   dtype: Any = jnp.float32) -> dict:
-    shape = (cfg.num_hidden_layers, batch, max_len,
-             cfg.num_key_value_heads, cfg.head_dim)
+    """HEAD-MAJOR ring buffers [L, B, Hkv, max_len, D] — kv tiles then map
+    directly onto Mosaic's (sublane, lane) tiling in the flash-decode kernel
+    with zero transposes in the hot loop."""
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads,
+             max_len, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -190,12 +194,13 @@ def qwen3_forward_cached(
     """
     b, s, _ = embeds.shape
     hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    max_len = cache["k"].shape[2]
+    max_len = cache["k"].shape[3]
     cos, sin = _rope_at(cfg, positions)
 
     new_len = cache_len + s
     pos_idx = jnp.arange(max_len, dtype=jnp.int32)
 
+    mask = None
     if causal_block:
         # key j visible to query i iff kv_start <= j <= cache_len + i
         q_abs = cache_len + jnp.arange(s, dtype=jnp.int32)  # [S]
@@ -203,11 +208,7 @@ def qwen3_forward_cached(
             pos_idx[None, None, :] <= q_abs[None, :, None]
         )  # [B, S, max_len]
         mask = mask[:, None]  # [B, 1, S, max_len]
-    else:
-        mask = (pos_idx[None, :] >= kv_start[:, None]) & (
-            pos_idx[None, :] < new_len
-        )  # [B, max_len]
-        mask = mask[:, None, None, :]
+    kv_len_vec = jnp.broadcast_to(new_len, (b,)).astype(jnp.int32)
 
     def layer(x, scanned):
         lp, k_cache, v_cache = scanned
@@ -219,11 +220,19 @@ def qwen3_forward_cached(
         v = (h @ lp["v_proj"]).reshape(b, s, hkv, hd)
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
-                                               (0, cache_len, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
-                                               (0, cache_len, 0, 0))
-        attn = attention_xla(q, k_cache, v_cache, mask)
+        k_hm = jnp.transpose(k, (0, 2, 1, 3)).astype(k_cache.dtype)
+        v_hm = jnp.transpose(v, (0, 2, 1, 3)).astype(v_cache.dtype)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_hm,
+                                               (0, 0, cache_len, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_hm,
+                                               (0, 0, cache_len, 0))
+        if causal_block:
+            attn = attention_xla(q, jnp.transpose(k_cache, (0, 2, 1, 3)),
+                                 jnp.transpose(v_cache, (0, 2, 1, 3)), mask)
+        else:
+            # bidirectional decode window: flash-decode Pallas kernel on TPU
+            attn = windowed_decode_attention(q, k_cache, v_cache,
+                                             kv_len_vec, kv_start)
         x = x + attn.reshape(b, s, hq * hd) @ lp["o_proj"]
         h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h)

@@ -1,0 +1,52 @@
+"""Tensor-parallel inference sharding tests (8-virtual-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bitdance_tpu.models import qwen3 as q3
+from bitdance_tpu.ops.attention import causal_ids
+from bitdance_tpu.parallel.mesh import create_mesh
+from bitdance_tpu.parallel.tp import qwen3_tp_shardings, shard_qwen3_params
+
+
+def test_tp_sharded_forward_matches_replicated():
+    cfg = q3.Qwen3Config(vocab_size=128, hidden_size=64, intermediate_size=128,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=16)
+    params = q3.init_qwen3_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 128)
+    x = q3.embed_tokens(params, ids)
+    pos = jnp.tile(jnp.arange(12)[None], (2, 1))
+    blk, doc = causal_ids(12)
+    blk, doc = jnp.tile(blk[None], (2, 1)), jnp.tile(doc[None], (2, 1))
+
+    want = q3.qwen3_forward(params, cfg, x, pos, blk, doc)
+
+    mesh = create_mesh(replica=1, fsdp=2, tp=4)
+    sharded = shard_qwen3_params(params, mesh)
+    got = jax.jit(
+        lambda p, *a: q3.qwen3_forward(p, cfg, *a)
+    )(sharded, x, pos, blk, doc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # attention projections actually sharded over tp
+    sh = sharded["layers"]["q_proj"].sharding.spec
+    assert "tp" in str(sh)
+
+
+def test_tp_rules_fall_back_on_indivisible():
+    cfg = q3.Qwen3Config(vocab_size=126, hidden_size=64, intermediate_size=130,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=16)
+    params = q3.init_qwen3_params(jax.random.PRNGKey(0), cfg)
+    mesh = create_mesh(replica=1, fsdp=1, tp=8)
+    shardings = qwen3_tp_shardings(params, mesh)
+    # q_proj last dim = 64 divisible by 8 -> tp; intermediate 130 not -> None
+    assert shardings["layers"]["q_proj"].spec == P(None, "fsdp", "tp") or \
+           shardings["layers"]["q_proj"].spec == P(None, None, "tp")
+    assert "tp" not in str(shardings["layers"]["gate_proj"].spec)
+    # vocab 126 not divisible by 8 -> replicated embed
+    assert "tp" not in str(shardings["embed_tokens"].spec)
