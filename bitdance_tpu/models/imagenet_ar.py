@@ -55,6 +55,7 @@ class ImageNetARConfig:
     class_dropout_prob: float = 0.1
     diff_batch_mul: int = 4
     parallel_num: int = 1
+    grad_checkpointing: bool = False
     perturb_rate: float = 0.0
     time_schedule: str = "logit_normal"
     time_shift: float = 1.0
@@ -256,11 +257,12 @@ def _attn_full(cfg: ImageNetARConfig, params_l, x, freqs, block_ids, doc_ids):
 
 def ar_backbone(params: dict, cfg: ImageNetARConfig, x: jax.Array,
                 freqs: jax.Array, block_ids: jax.Array,
-                doc_ids: jax.Array) -> jax.Array:
+                doc_ids: jax.Array, remat: bool = False) -> jax.Array:
     def layer(carry, lp):
         return _attn_full(cfg, lp, carry, freqs, block_ids, doc_ids), None
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    body = jax.checkpoint(layer) if remat else layer
+    x, _ = jax.lax.scan(body, x, params["layers"])
     return x
 
 
@@ -300,7 +302,8 @@ def forward_train(
 
     freqs = freqs_cis_table(cfg)
     block_ids, doc_ids = train_ids(cfg)
-    x = ar_backbone(params, cfg, x, freqs, block_ids, doc_ids)
+    x = ar_backbone(params, cfg, x, freqs, block_ids, doc_ids,
+                    remat=(train and cfg.grad_checkpointing))
 
     x = x[:, -cfg.num_tokens :, :]
     x = rms_norm(x, params["norm"])

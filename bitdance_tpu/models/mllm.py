@@ -39,6 +39,7 @@ class MLLMConfig:
     head_num_blocks: int = 6
     head_num_adaln: int = 2
     head_use_swiglu: bool = True
+    grad_checkpointing: bool = True
     P_mean: float = -0.8
     P_std: float = 0.8
     time_shift: float = 1.0
@@ -148,6 +149,7 @@ def mllm_forward_train(
     hidden = q3.qwen3_forward(
         params["llm"], cfg.llm, seq[None], batch.position_ids[None],
         batch.block_ids[None], batch.doc_ids[None],
+        remat=(train and cfg.grad_checkpointing),
     )[0]  # [L, D]
 
     # --- text CE ------------------------------------------------------------

@@ -139,11 +139,15 @@ def qwen3_forward(
     block_ids: jax.Array,
     doc_ids: jax.Array,
     attn_impl: str = "auto",
+    remat: bool = False,
 ) -> jax.Array:
     """Full (uncached) forward over packed/padded embeds.
 
     embeds: [B, S, D]; positions/block_ids/doc_ids: [B, S].
     Returns final-norm hidden states [B, S, D].
+    remat=True rematerializes each layer in the backward pass
+    (jax.checkpoint over the scan body — the TPU equivalent of the
+    reference's grad_checkpointing flags), trading FLOPs for HBM.
     """
     cos, sin = _rope_at(cfg, positions)
 
@@ -165,7 +169,8 @@ def qwen3_forward(
         x = x + _mlp(lp, h)
         return x, None
 
-    x, _ = jax.lax.scan(layer, embeds, params["layers"])
+    body = jax.checkpoint(layer) if remat else layer
+    x, _ = jax.lax.scan(body, embeds, params["layers"])
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 

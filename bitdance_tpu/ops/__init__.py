@@ -26,3 +26,12 @@ from bitdance_tpu.ops.attention import (
     causal_ids,
     packed_ids_from_segments,
 )
+from bitdance_tpu.ops.decode_attention import (
+    decode_attention_pallas,
+    windowed_decode_attention,
+)
+from bitdance_tpu.ops.token_sampling import (
+    sample_tokens,
+    top_k_filter,
+    top_p_filter,
+)

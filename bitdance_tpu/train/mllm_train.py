@@ -67,6 +67,16 @@ def train_step(state: opt_lib.TrainState, batch: PackedBatch, rng: jax.Array,
     return new_state, metrics
 
 
+def eval_step(params: dict, batch: PackedBatch, rng: jax.Array, *,
+              cfg: MLLMConfig, tcfg: MLLMTrainConfig):
+    """Validation losses on a held-out packed batch (yaml validate_every)."""
+    out = mllm_forward_train(params, cfg, batch, rng, train=False)
+    loss = (tcfg.loss_weight_text * out["ce_loss_text"]
+            + tcfg.loss_weight_vision * out["ce_loss_vision"])
+    return {"val_loss": loss, "val_ce_text": out["ce_loss_text"],
+            "val_ce_vision": out["ce_loss_vision"]}
+
+
 def make_sharded_train_step(mesh, state: opt_lib.TrainState, cfg: MLLMConfig,
                             tcfg: MLLMTrainConfig, tx):
     """FSDP-sharded jitted step. Batch fields are replicated (single packed

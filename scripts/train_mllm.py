@@ -26,6 +26,8 @@ def main():
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--data-dir", type=str, required=True,
                    help="directory of .npz packed batches (data/packing.py)")
+    p.add_argument("--val-batch", type=str, default="",
+                   help="held-out packed .npz for validate_every")
     p.add_argument("--hf-llm", type=str, default="",
                    help="HF Qwen3 dir to init the backbone (else random)")
     p.add_argument("--results-dir", type=str, default="results/mllm")
@@ -52,7 +54,12 @@ def main():
     from bitdance_tpu.parallel.mesh import create_mesh
     from bitdance_tpu.train import optim as opt_lib
     from bitdance_tpu.train.checkpoints import CheckpointManager
-    from bitdance_tpu.train.mllm_train import make_sharded_train_step, make_tx
+    from bitdance_tpu.train.mllm_train import (
+        eval_step,
+        make_sharded_train_step,
+        make_tx,
+    )
+    import functools
     from bitdance_tpu.utils.fs import init_distributed
     from bitdance_tpu.utils.logging import (
         MetricAccumulator,
@@ -103,6 +110,13 @@ def main():
     rng = jax.random.PRNGKey(777)
     save_every = int(ycfg.training.get("save_every", 1000))
     log_every = int(ycfg.training.get("log_every", 10))
+    validate_every = int(ycfg.training.get("validate_every", 0))
+    val_batch = None
+    val_fn = None
+    if args.val_batch:
+        raw = dict(np.load(args.val_batch))
+        val_batch = PackedBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+        val_fn = jax.jit(functools.partial(eval_step, cfg=cfg, tcfg=tcfg))
     total_steps = (args.max_steps if args.max_steps > 0
                    else int(ycfg.training.get("total_steps", 10**6)))
 
@@ -124,6 +138,14 @@ def main():
                         + f", steps/sec: {sps:.2f}")
             for k, v in means.items():
                 writer.add_scalar(f"train/{k}", v, global_step)
+        if val_fn is not None and validate_every and \
+                global_step % validate_every == 0:
+            vm = val_fn(state.params, val_batch, jax.random.PRNGKey(0))
+            logger.info(
+                f"(step={global_step:07d}) "
+                + ", ".join(f"{k}: {float(v):.4f}" for k, v in vm.items()))
+            for k, v in vm.items():
+                writer.add_scalar(f"val/{k}", float(v), global_step)
         if global_step % save_every == 0:
             ckpt.save(global_step, jax.device_get(state),
                       data_status={"file": fi})
