@@ -20,12 +20,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small shapes to smoke-test the bench path")
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--model", type=str, default="BitDance-B")
     ap.add_argument("--parallel", type=int, default=1)
     ap.add_argument("--sample-steps", type=int, default=100)
     ap.add_argument("--cfg-scale", type=float, default=4.6)
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--decode-chunk", type=int, default=32,
+                    help="VAE decode chunk (model.py:378-387 decode_in_chunks)")
     args = ap.parse_args()
 
     import jax
@@ -78,13 +80,28 @@ def main():
 
     cls = jnp.arange(args.batch, dtype=jnp.int32) % cfg.num_classes
 
+    # Params MUST be jit arguments, not closures: closed-over arrays embed
+    # as HLO constants, and a 242M-param model makes the serialized compile
+    # request hundreds of MB (the remote-compile service rejects it with
+    # HTTP 413). Two separate programs also keep each graph small.
     @jax.jit
-    def run(rng):
+    def run_sample(params, head_params, cls, rng):
         toks = sample(params, head, head_params, cfg, cls, rng,
                       num_sampling_steps=args.sample_steps,
                       cfg_scale=args.cfg_scale)
-        grid = tokens_to_grid(cfg, toks)
+        return tokens_to_grid(cfg, toks)
+
+    @jax.jit
+    def run_decode(ae_params, grid):
         return ae.apply(ae_params, grid, method=VQModel.decode)
+
+    chunk = min(args.decode_chunk, args.batch)
+
+    def run(rng):
+        grid = run_sample(params, head_params, cls, rng)
+        outs = [run_decode(ae_params, grid[i: i + chunk])
+                for i in range(0, args.batch, chunk)]
+        return jnp.concatenate(outs, axis=0)
 
     import numpy as _np
 

@@ -65,13 +65,20 @@ def sample_fid(
     os.makedirs(sample_dir, exist_ok=True)
 
     @jax.jit
-    def run(cls, rng):
-        toks = sample(params, head, head_params, cfg, cls, rng,
+    def run_sample(p, hp, cls, rng):
+        toks = sample(p, head, hp, cfg, cls, rng,
                       num_sampling_steps=sample_steps, cfg_scale=cfg_scale)
-        grid = tokens_to_grid(cfg, toks)
-        img = ae.apply(ae_params, grid, method=VQModel.decode)
+        return tokens_to_grid(cfg, toks)
+
+    @jax.jit
+    def run_decode(aep, grid):
+        img = ae.apply(aep, grid, method=VQModel.decode)
         img = jnp.clip(127.5 * img.astype(jnp.float32) + 128.0, 0, 255)
         return img.astype(jnp.uint8)
+
+    def run(cls, rng):
+        # params as jit args (closures embed them as HLO constants)
+        return run_decode(ae_params, run_sample(params, head_params, cls, rng))
 
     total = 0
     for it in range(num_iters):

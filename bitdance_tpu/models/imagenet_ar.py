@@ -412,9 +412,9 @@ def sample(
             cfg.num_tokens, *freqs.shape[1:])
         freqs = jnp.concatenate([freqs[: cfg.prefix_len], patch], axis=0)
 
-    cache = _init_cache(cfg, b2)
     c = jnp.take(params["cls_embedding"], cond, axis=0).reshape(
         b2, cfg.cls_token_num, cfg.dim)
+    cache = _init_cache(cfg, b2, dtype=c.dtype)
 
     def head_sample(x, step, key):
         """x: [B2, p, dim]; step: traced position index."""

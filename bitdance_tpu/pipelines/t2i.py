@@ -180,11 +180,38 @@ class T2IPipeline:
     def _compiled(self, P, latent_h, latent_w, n, cfg_scale, steps):
         key = (P, latent_h, latent_w, n, float(cfg_scale), steps)
         if key not in self._jitted:
-            fn = functools.partial(
-                generate_tokens, self.bundle,
-                latent_h=latent_h, latent_w=latent_w, num_images=n,
-                guidance_scale=float(cfg_scale), num_sampling_steps=steps,
-            )
+            base = self.bundle
+
+            # Params travel as jit ARGUMENTS — closing over them embeds the
+            # full 14B weights as HLO constants, which overflows the compile
+            # pipeline (multi-hundred-MB serialized programs).
+            def fn(params3, prompt_ids, prompt_pad, start_ids, pe, rng):
+                b = dataclasses.replace(
+                    base, llm_params=params3["llm"],
+                    head_params=params3["head"],
+                    projector_params=params3["proj"])
+                return generate_tokens(
+                    b, prompt_ids, prompt_pad, start_ids, pe, rng,
+                    latent_h=latent_h, latent_w=latent_w, num_images=n,
+                    guidance_scale=float(cfg_scale), num_sampling_steps=steps)
+
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
+    def _params3(self):
+        return {"llm": self.bundle.llm_params,
+                "head": self.bundle.head_params,
+                "proj": self.bundle.projector_params}
+
+    def _decode_compiled(self, latent_h, latent_w):
+        key = ("decode", latent_h, latent_w)
+        if key not in self._jitted:
+            base = self.bundle
+
+            def fn(ae_params, tokens):
+                b = dataclasses.replace(base, ae_params=ae_params)
+                return decode_image(b, tokens, latent_h, latent_w)
+
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
@@ -224,12 +251,13 @@ class T2IPipeline:
         fn = self._compiled(P, latent_h, latent_w, num_images,
                             guidance_scale, num_sampling_steps)
         tokens = fn(
+            self._params3(),
             jnp.asarray(rows, jnp.int32),
             jnp.asarray(pads, jnp.int32),
             jnp.asarray(start_ids, jnp.int32),
             pe,
             jax.random.PRNGKey(seed),
         )
-        img = decode_image(b, tokens, latent_h, latent_w)
+        img = self._decode_compiled(latent_h, latent_w)(b.ae_params, tokens)
         img = np.asarray(jnp.clip(127.5 * img.astype(jnp.float32) + 128.0, 0, 255))
         return img.astype(np.uint8)

@@ -153,8 +153,10 @@ def main():
     logger.info(f"mesh {dict(mesh.shape)}; state sharded")
 
     @jax.jit
-    def encode_batch(images):
-        raw = ae.apply(ae_params, images, method=VQModel.encode_raw)
+    def encode_batch(ae_p, images):
+        # ae params passed as an argument — closures embed them as HLO
+        # constants and blow up the compile-request size
+        raw = ae.apply(ae_p, images, method=VQModel.encode_raw)
         q = gfq_quantize(raw, num_codebooks=4, training=False).quantized
         return grid_to_tokens(cfg, q)
 
@@ -186,7 +188,7 @@ def main():
         for b, (images, labels) in enumerate(
                 loader.iter_epoch(epoch, start_batch if epoch == start_epoch else 0)):
             rng, sub = jax.random.split(rng)
-            tokens = encode_batch(jnp.asarray(images))
+            tokens = encode_batch(ae_params, jnp.asarray(images))
             if global_step == 0:
                 logger.info("first batch encoded; compiling train step")
             state, metrics = step_fn(state, tokens, jnp.asarray(labels), sub)
