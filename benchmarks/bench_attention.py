@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--head-dim", type=int, default=128)
     ap.add_argument("--parallel-num", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--block-q", type=int, default=256)
+    ap.add_argument("--block-k", type=int, default=512)
     args = ap.parse_args()
 
     import jax
@@ -66,7 +68,7 @@ def main():
         return jax.jit(run)
 
     flash = chain(lambda q, k, v, qb, qd, kb, kd: flash_attention(
-        q, k, v, qb, qd, kb, kd))
+        q, k, v, qb, qd, kb, kd, block_q=args.block_q, block_k=args.block_k))
     xla = chain(lambda q, k, v, m: attention_xla(q, k, v, m))
 
     def timeit(fn, *a):

@@ -21,7 +21,7 @@ from bitdance_tpu.ops.attention import (
     attention_xla,
     flash_attention,
     masked_attention,
-    decode_attention,
+    decode_attention_xla,
     mask_from_ids,
     causal_ids,
     packed_ids_from_segments,

@@ -347,7 +347,7 @@ def masked_attention(
     return attention_xla(q, k, v, mask[:, None], scale=scale)
 
 
-def decode_attention(
+def decode_attention_xla(
     q: jax.Array,
     k_cache: jax.Array,
     v_cache: jax.Array,

@@ -9,7 +9,7 @@ from bitdance_tpu.ops import (
     attention_xla,
     flash_attention,
     masked_attention,
-    decode_attention,
+    decode_attention_xla,
     mask_from_ids,
     causal_ids,
     packed_ids_from_segments,
@@ -125,7 +125,7 @@ def test_decode_attention_matches_full():
     valid = jnp.asarray([50, 70], jnp.int32)
     key = jax.random.PRNGKey(3)
     q, kc, vc = _rand_qkv(key, b, 8, max_len, hq, hkv, d)
-    got = decode_attention(q, kc, vc, valid)
+    got = decode_attention_xla(q, kc, vc, valid)
     for i in range(b):
         n = int(valid[i])
         want = attention_xla(q[i : i + 1], kc[i : i + 1, :n], vc[i : i + 1, :n])
