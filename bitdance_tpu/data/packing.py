@@ -21,6 +21,67 @@ import dataclasses
 import numpy as np
 
 
+def sample_token_len(s: "T2ISample", parallel_num: int) -> int:
+    """Total packed tokens a sample will occupy."""
+    return len(s.text_ids) + 3 + (parallel_num - 1) + s.image_latents.shape[0]
+
+
+class GreedyPacker:
+    """Stream packer: fill sequence budgets from a sample stream.
+
+    Implements the yaml packing contract (bitdance_14b_64x.yaml:45-49):
+    samples accumulate in a bounded buffer; batches are emitted once the
+    packed length reaches `expected_num_tokens` (never exceeding
+    `max_num_tokens`); singles above `max_num_tokens_per_sample` are
+    rejected. Greedy-fit keeps utilization high with native-resolution
+    variable-length samples.
+    """
+
+    def __init__(self, parallel_num: int, expected_num_tokens: int = 33280,
+                 max_num_tokens: int = 37376,
+                 max_num_tokens_per_sample: int = 16384,
+                 max_buffer_size: int = 50):
+        self.p = parallel_num
+        self.expected = expected_num_tokens
+        self.max_tokens = max_num_tokens
+        self.max_per_sample = max_num_tokens_per_sample
+        self.max_buffer = max_buffer_size
+        self.buffer: list = []
+
+    def add(self, sample: "T2ISample") -> list | None:
+        """Add a sample; returns a list of samples to pack when a batch is
+        ready, else None."""
+        if sample_token_len(sample, self.p) > self.max_per_sample:
+            return None  # reject oversized (yaml max_num_tokens_per_sample)
+        self.buffer.append(sample)
+        if len(self.buffer) >= self.max_buffer:
+            return self._emit()
+        total = sum(sample_token_len(s, self.p) for s in self.buffer)
+        if total >= self.expected:
+            return self._emit()
+        return None
+
+    def _emit(self) -> list:
+        """Greedy-fit a batch under max_tokens (reserving the trash slot)."""
+        budget = self.max_tokens - 1
+        batch, rest, used = [], [], 0
+        # largest-first improves fit for heterogeneous resolutions
+        for s in sorted(self.buffer, key=lambda x: -sample_token_len(x, self.p)):
+            n = sample_token_len(s, self.p)
+            if used + n <= budget:
+                batch.append(s)
+                used += n
+            else:
+                rest.append(s)
+        self.buffer = rest
+        return batch
+
+    def flush(self) -> list:
+        out = self.buffer
+        self.buffer = []
+        return out
+
+
 @dataclasses.dataclass
 class T2ISample:
     text_ids: np.ndarray        # [n_text] prompt token ids (incl. chatml)

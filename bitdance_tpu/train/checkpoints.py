@@ -23,17 +23,27 @@ from bitdance_tpu.train.optim import TrainState
 
 
 class CheckpointManager:
-    """Sharded step checkpoints with keep-last-N rotation and auto-resume."""
+    """Sharded step checkpoints with keep-last-N rotation and auto-resume.
 
-    def __init__(self, directory: str, keep_last_n: int = 3):
+    async_save=True overlaps the device->host copy + write with training
+    (fsdp_utils.py's async checkpoint copies, l:255-287); hdfs_mirror, when
+    set, uploads each finished checkpoint to remote storage like the
+    reference's async HDFS mirroring.
+    """
+
+    def __init__(self, directory: str, keep_last_n: int = 3,
+                 async_save: bool = False, hdfs_mirror: str | None = None):
         self.directory = os.path.abspath(directory)
+        self.hdfs_mirror = hdfs_mirror
         os.makedirs(self.directory, exist_ok=True)
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep_last_n, create=True, enable_async_checkpointing=False,
+                max_to_keep=keep_last_n, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
+        self._async = async_save
 
     def save(self, step: int, state: TrainState,
              data_status: dict | None = None) -> None:
@@ -41,6 +51,22 @@ class CheckpointManager:
         if data_status is not None:
             items["data_status"] = ocp.args.JsonSave(data_status)
         self.manager.save(step, args=ocp.args.Composite(**items))
+        if not self._async:
+            self.manager.wait_until_finished()
+            self._mirror(step)
+
+    def _mirror(self, step: int) -> None:
+        if not self.hdfs_mirror:
+            return
+        import threading
+
+        from bitdance_tpu.utils import fs
+
+        src = os.path.join(self.directory, str(step))
+        dst = f"{self.hdfs_mirror.rstrip('/')}/{step}"
+        threading.Thread(target=fs.copy, args=(src, dst), daemon=True).start()
+
+    def wait_until_finished(self) -> None:
         self.manager.wait_until_finished()
 
     def latest_step(self) -> int | None:
