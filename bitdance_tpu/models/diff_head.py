@@ -123,7 +123,12 @@ class TransBlock(nn.Module):
 
 
 class MlpResBlock(nn.Module):
-    """Per-token residual SwiGLU block (diff_head.py:128-141)."""
+    """Per-token residual SwiGLU block (diff_head.py:128-141).
+
+    On TPU the whole block (LN + adaLN modulation + SwiGLU MLP + gated
+    residual) runs as ONE fused Pallas kernel — the sampler calls the net
+    50-100x sequentially, so per-op launch overhead dominates otherwise.
+    """
 
     channels: int
     dtype: Any = jnp.float32
@@ -131,11 +136,46 @@ class MlpResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mods):
         scale, shift, gate = mods
-        h = LayerNormAffine(self.channels, name="norm")(x) * (1 + scale) + shift
         hidden = int(self.channels * 1.5)
-        h12 = nn.Dense(hidden * 2, dtype=self.dtype, name="w1")(h)
+        norm = LayerNormAffine(self.channels, name="norm")
+        w1 = nn.Dense(hidden * 2, dtype=self.dtype, name="w1")
+        w2 = nn.Dense(self.channels, dtype=self.dtype, name="w2")
+
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and x.ndim == 2
+            and self.channels % 128 == 0
+            and (hidden * 2) % 128 == 0
+        )
+        if use_fused:
+            from bitdance_tpu.ops.fused_block import (
+                fused_block_available,
+                fused_mlp_block,
+            )
+
+            itemsize = jnp.dtype(self.dtype).itemsize
+            if fused_block_available(x.shape[0], self.channels, hidden * 2,
+                                     itemsize):
+                if self.is_initializing():
+                    h = norm(x) * (1 + scale) + shift
+                    h12 = w1(h)
+                    h1, h2 = jnp.split(h12, 2, axis=-1)
+                    return x + w2(nn.silu(h1) * h2) * gate
+                p_norm = self.variables["params"]["norm"]
+                p_w1 = self.variables["params"]["w1"]
+                p_w2 = self.variables["params"]["w2"]
+                bcast = lambda m: jnp.broadcast_to(m, x.shape)
+                return fused_mlp_block(
+                    x, bcast(scale), bcast(shift), bcast(gate),
+                    p_norm["weight"], p_norm["bias"],
+                    p_w1["kernel"].astype(self.dtype), p_w1["bias"],
+                    p_w2["kernel"].astype(self.dtype), p_w2["bias"],
+                ).astype(x.dtype)
+
+        h = norm(x) * (1 + scale) + shift
+        h12 = w1(h)
         h1, h2 = jnp.split(h12, 2, axis=-1)
-        h = nn.Dense(self.channels, dtype=self.dtype, name="w2")(nn.silu(h1) * h2)
+        h = w2(nn.silu(h1) * h2)
         return x + h * gate
 
 
