@@ -110,13 +110,47 @@ class TransBlock(nn.Module):
         h = WindowAttention(self.channels, self.channels // self.attn_head_dim,
                             dtype=self.dtype, name="attn")(h)
         x = x + h * gate1
-        h = LayerNormAffine(self.channels, name="norm2")(x) * (1 + scale2) + shift2
         hidden = int(self.channels * 1.5)
+        norm2 = LayerNormAffine(self.channels, name="norm2")
         if self.use_swiglu:
-            h12 = nn.Dense(hidden * 2, dtype=self.dtype, name="w1")(h)
+            w1 = nn.Dense(hidden * 2, dtype=self.dtype, name="w1")
+            w2 = nn.Dense(self.channels, dtype=self.dtype, name="w2")
+            # fuse the SwiGLU half into one Pallas call (see MlpResBlock)
+            use_fused = (
+                jax.default_backend() == "tpu"
+                and x.ndim == 3
+                and not self.is_initializing()
+                and self.channels % 128 == 0
+                and (hidden * 2) % 128 == 0
+            )
+            if use_fused:
+                from bitdance_tpu.ops.fused_block import (
+                    fused_block_available,
+                    fused_mlp_block,
+                )
+
+                itemsize = jnp.dtype(self.dtype).itemsize
+                b, n, c = x.shape
+                if fused_block_available(b * n, c, hidden * 2, itemsize):
+                    p_norm = self.variables["params"]["norm2"]
+                    p_w1 = self.variables["params"]["w1"]
+                    p_w2 = self.variables["params"]["w2"]
+                    flat = x.reshape(b * n, c)
+                    bcast = lambda m: jnp.broadcast_to(m, x.shape).reshape(
+                        b * n, c)
+                    out = fused_mlp_block(
+                        flat, bcast(scale2), bcast(shift2), bcast(gate2),
+                        p_norm["weight"], p_norm["bias"],
+                        p_w1["kernel"].astype(self.dtype), p_w1["bias"],
+                        p_w2["kernel"].astype(self.dtype), p_w2["bias"],
+                    )
+                    return out.reshape(b, n, c).astype(x.dtype)
+            h = norm2(x) * (1 + scale2) + shift2
+            h12 = w1(h)
             h1, h2 = jnp.split(h12, 2, axis=-1)
-            h = nn.Dense(self.channels, dtype=self.dtype, name="w2")(nn.silu(h1) * h2)
+            h = w2(nn.silu(h1) * h2)
         else:
+            h = norm2(x) * (1 + scale2) + shift2
             h = nn.Dense(hidden, dtype=self.dtype, name="mlp_0")(h)
             h = nn.Dense(self.channels, dtype=self.dtype, name="mlp_2")(nn.silu(h))
         return x + h * gate2
