@@ -154,9 +154,19 @@ def mllm_forward_train(
 
     # --- text CE ------------------------------------------------------------
     txt_hidden = hidden[batch.ce_text_indexes]
-    logits = q3.lm_logits(params["llm"], cfg.llm, txt_hidden)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, batch.ce_text_labels[:, None], axis=-1)[:, 0]
+    lm_w = params["llm"].get("lm_head")
+    if lm_w is None:
+        lm_w = params["llm"]["embed_tokens"].T
+    if cfg.llm.vocab_size > 32768:
+        # chunked CE: never materialize [N, 152k] logits (liger CE parity)
+        from bitdance_tpu.ops.chunked_ce import chunked_cross_entropy
+
+        nll = chunked_cross_entropy(txt_hidden, lm_w, batch.ce_text_labels)
+    else:
+        logits = (txt_hidden @ lm_w).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, batch.ce_text_labels[:, None],
+                                   axis=-1)[:, 0]
     wsum = jnp.maximum(jnp.sum(batch.ce_text_weights), 1e-6)
     ce_loss_text = jnp.sum(nll * batch.ce_text_weights) / wsum
 
