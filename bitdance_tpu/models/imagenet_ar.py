@@ -350,27 +350,36 @@ def _forward_cached(params, cfg: ImageNetARConfig, x, freqs_slice, cache,
 
     x = rms_norm(x, params["emb_norm"])
 
+    # The stacked caches ride in the scan CARRY (not xs/ys): carry buffers
+    # alias across iterations, so the per-layer dynamic_update_slice writes
+    # in place instead of copying the full multi-GB cache every decode step
+    # (xs->ys pairs cannot alias). This was 76% of the sampling step time.
     def layer(carry, scanned):
-        xx = carry
-        lp, k_cache, v_cache = scanned
+        xx, k_all, v_all, li = carry
+        lp = scanned
         h = rms_norm(xx, lp["attention_norm"])
         qkv = h @ lp["wqkv"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = apply_rope_paired(q.reshape(b, s, nh, hd), freqs_slice)
         k = apply_rope_paired(k.reshape(b, s, nh, hd), freqs_slice)
         v = v.reshape(b, s, nh, hd)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, cache_len, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, cache_len, 0, 0))
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.astype(k_all.dtype)[None], (li, 0, cache_len, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.astype(v_all.dtype)[None], (li, 0, cache_len, 0, 0))
+        k_cache = jax.lax.dynamic_slice(
+            k_all, (li, 0, 0, 0, 0), (1,) + k_all.shape[1:])[0]
+        v_cache = jax.lax.dynamic_slice(
+            v_all, (li, 0, 0, 0, 0), (1,) + v_all.shape[1:])[0]
         attn = attention_xla(q, k_cache, v_cache, mask)
         xx = xx + attn.reshape(b, s, -1) @ lp["wo"]
         h = rms_norm(xx, lp["ffn_norm"])
         h1, h2 = jnp.split(h @ lp["ffn_w1"], 2, axis=-1)
         xx = xx + (jax.nn.silu(h1) * h2) @ lp["ffn_w2"]
-        return xx, (k_cache, v_cache)
+        return (xx, k_all, v_all, li + 1), None
 
-    x, (nk, nv) = jax.lax.scan(layer, x, (params["layers"], cache["k"], cache["v"]))
+    (x, nk, nv, _), _ = jax.lax.scan(
+        layer, (x, cache["k"], cache["v"], jnp.int32(0)), params["layers"])
     x = rms_norm(x, params["norm"])
     return x, {"k": nk, "v": nv}
 

@@ -215,8 +215,12 @@ def qwen3_forward_cached(
         mask = mask[:, None]  # [B, 1, S, max_len]
     kv_len_vec = jnp.broadcast_to(new_len, (b,)).astype(jnp.int32)
 
-    def layer(x, scanned):
-        lp, k_cache, v_cache = scanned
+    # Caches ride in the scan CARRY: carry buffers alias across iterations
+    # so per-layer dynamic_update_slice writes in place; xs->ys cache pairs
+    # cannot alias and were copying the full cache each decode step (this
+    # was the dominant cost of the sampling loop).
+    def layer(carry, lp):
+        x, k_all, v_all, li = carry
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q = rms_norm((h @ lp["q_proj"]).reshape(b, s, hq, hd), lp["q_norm"],
                      cfg.rms_norm_eps)
@@ -225,12 +229,16 @@ def qwen3_forward_cached(
         v = (h @ lp["v_proj"]).reshape(b, s, hkv, hd)
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
-        k_hm = jnp.transpose(k, (0, 2, 1, 3)).astype(k_cache.dtype)
-        v_hm = jnp.transpose(v, (0, 2, 1, 3)).astype(v_cache.dtype)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_hm,
-                                               (0, 0, cache_len, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_hm,
-                                               (0, 0, cache_len, 0))
+        k_hm = jnp.transpose(k, (0, 2, 1, 3)).astype(k_all.dtype)
+        v_hm = jnp.transpose(v, (0, 2, 1, 3)).astype(v_all.dtype)
+        k_all = jax.lax.dynamic_update_slice(k_all, k_hm[None],
+                                             (li, 0, 0, cache_len, 0))
+        v_all = jax.lax.dynamic_update_slice(v_all, v_hm[None],
+                                             (li, 0, 0, cache_len, 0))
+        k_cache = jax.lax.dynamic_slice(
+            k_all, (li, 0, 0, 0, 0), (1,) + k_all.shape[1:])[0]
+        v_cache = jax.lax.dynamic_slice(
+            v_all, (li, 0, 0, 0, 0), (1,) + v_all.shape[1:])[0]
         if causal_block:
             attn = attention_xla(q, jnp.transpose(k_cache, (0, 2, 1, 3)),
                                  jnp.transpose(v_cache, (0, 2, 1, 3)), mask)
@@ -241,11 +249,11 @@ def qwen3_forward_cached(
         x = x + attn.reshape(b, s, hq * hd) @ lp["o_proj"]
         h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h)
-        return x, (k_cache, v_cache)
+        return (x, k_all, v_all, li + 1), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, embeds, (params["layers"], cache["k"], cache["v"])
-    )
+    (x, new_k, new_v, _), _ = jax.lax.scan(
+        layer, (embeds, cache["k"], cache["v"], jnp.int32(0)),
+        params["layers"])
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return hidden, {"k": new_k, "v": new_v}
 
