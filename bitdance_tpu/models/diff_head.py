@@ -106,10 +106,44 @@ class TransBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mods):
         scale1, shift1, gate1, scale2, shift2, gate2 = mods
-        h = LayerNormAffine(self.channels, name="norm1")(x) * (1 + scale1) + shift1
-        h = WindowAttention(self.channels, self.channels // self.attn_head_dim,
-                            dtype=self.dtype, name="attn")(h)
-        x = x + h * gate1
+        norm1 = LayerNormAffine(self.channels, name="norm1")
+        attn = WindowAttention(self.channels,
+                               self.channels // self.attn_head_dim,
+                               dtype=self.dtype, name="attn")
+
+        fused_attn = (
+            jax.default_backend() == "tpu"
+            and x.ndim == 3
+            and not self.is_initializing()
+            and self.channels % 128 == 0
+            and x.shape[1] % 8 == 0
+        )
+        if fused_attn:
+            from bitdance_tpu.ops.fused_block import (
+                fused_attn_available,
+                fused_attn_block,
+            )
+
+            itemsize = jnp.dtype(self.dtype).itemsize
+            if fused_attn_available(self.channels, itemsize):
+                p_norm = self.variables["params"]["norm1"]
+                p_attn = self.variables["params"]["attn"]
+                bcast = lambda m: jnp.broadcast_to(m, x.shape)
+                x = fused_attn_block(
+                    x, bcast(scale1), bcast(shift1), bcast(gate1),
+                    p_norm["weight"], p_norm["bias"],
+                    p_attn["wqkv"]["kernel"].astype(self.dtype),
+                    p_attn["wqkv"]["bias"],
+                    p_attn["wo"]["kernel"].astype(self.dtype),
+                    p_attn["wo"]["bias"],
+                    n_head=self.channels // self.attn_head_dim,
+                ).astype(x.dtype)
+            else:
+                fused_attn = False
+        if not fused_attn:
+            h = norm1(x) * (1 + scale1) + shift1
+            h = attn(h)
+            x = x + h * gate1
         hidden = int(self.channels * 1.5)
         norm2 = LayerNormAffine(self.channels, name="norm2")
         if self.use_swiglu:

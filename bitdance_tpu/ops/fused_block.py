@@ -113,6 +113,99 @@ def fused_mlp_block(
     return out[:rows]
 
 
+def _fused_attn_block_kernel(
+    x_ref, scale_ref, shift_ref, gate_ref,
+    lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    o_ref,
+    *, eps: float, n_head: int,
+):
+    """One window-attention block: LN + adaLN mod + MHA(window) + gated
+    residual, for a single [window, C] group per grid cell."""
+    x = x_ref[0].astype(jnp.float32)  # [W, C]
+    w, c = x.shape
+    hd = c // n_head
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    ln = (x - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * lnw_ref[0, :].astype(jnp.float32) + lnb_ref[0, :].astype(jnp.float32)
+    h = ln * (1.0 + scale_ref[0].astype(jnp.float32)) \
+        + shift_ref[0].astype(jnp.float32)
+
+    qkv = jax.lax.dot_general(
+        h.astype(wqkv_ref.dtype), wqkv_ref[:, :],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0, :].astype(jnp.float32)  # [W, 3C]
+    scale_attn = hd ** -0.5
+
+    heads_out = []
+    for head in range(n_head):  # static unroll; n_head is small (8-16)
+        q = qkv[:, head * hd:(head + 1) * hd] * scale_attn
+        k = qkv[:, c + head * hd: c + (head + 1) * hd]
+        v = qkv[:, 2 * c + head * hd: 2 * c + (head + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        heads_out.append(jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    out = jnp.concatenate(heads_out, axis=-1)
+
+    proj = jax.lax.dot_general(
+        out.astype(wo_ref.dtype), wo_ref[:, :],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + bo_ref[0, :].astype(jnp.float32)
+    o_ref[0] = (x + proj * gate_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_attn_block(
+    x: jax.Array,       # [G, W, C] groups of window tokens
+    scale: jax.Array,   # [G, W, C]
+    shift: jax.Array,
+    gate: jax.Array,
+    ln_w: jax.Array, ln_b: jax.Array,
+    wqkv: jax.Array,    # [C, 3C]
+    bqkv: jax.Array,    # [3C]
+    wo: jax.Array,      # [C, C]
+    bo: jax.Array,      # [C]
+    n_head: int,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused adaLN window-attention residual block (flow_head_parallel_x.py
+    TransBlock attention half)."""
+    g, w, c = x.shape
+    kernel = functools.partial(_fused_attn_block_kernel, eps=eps,
+                               n_head=n_head)
+    grp = pl.BlockSpec((1, w, c), lambda i: (i, 0, 0))
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            grp, grp, grp, grp,
+            const2((1, c)), const2((1, c)),
+            pl.BlockSpec(wqkv.shape, lambda i: (0, 0)),
+            const2((1, bqkv.shape[0])),
+            pl.BlockSpec(wo.shape, lambda i: (0, 0)),
+            const2((1, c)),
+        ],
+        out_specs=grp,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x, scale, shift, gate, ln_w[None], ln_b[None], wqkv, bqkv[None],
+      wo, bo[None])
+
+
+def fused_attn_available(c: int, weight_itemsize: int = 2) -> bool:
+    weight_bytes = (c * 3 * c + c * c) * weight_itemsize
+    return weight_bytes < 10 * 1024 * 1024
+
+
 def fused_block_available(rows: int, c: int, hidden2: int,
                           weight_itemsize: int = 2) -> bool:
     """VMEM feasibility: weights + activations must fit (~12MB budget)."""

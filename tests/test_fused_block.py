@@ -48,3 +48,38 @@ def test_fused_block_row_padding():
     assert got.shape == (rows, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attn_block_matches_reference():
+    from bitdance_tpu.ops.fused_block import fused_attn_block
+
+    g, w, c, n_head = 3, 16, 128, 2
+    ks = jax.random.split(jax.random.PRNGKey(7), 10)
+    x = jax.random.normal(ks[0], (g, w, c))
+    scale = jax.random.normal(ks[1], (g, w, c)) * 0.1
+    shift = jax.random.normal(ks[2], (g, w, c)) * 0.1
+    gate = jax.random.normal(ks[3], (g, w, c)) * 0.1
+    ln_w = 1 + jax.random.normal(ks[4], (c,)) * 0.1
+    ln_b = jax.random.normal(ks[5], (c,)) * 0.1
+    wqkv = jax.random.normal(ks[6], (c, 3 * c)) * 0.05
+    bqkv = jax.random.normal(ks[7], (3 * c,)) * 0.05
+    wo = jax.random.normal(ks[8], (c, c)) * 0.05
+    bo = jax.random.normal(ks[9], (c,)) * 0.05
+
+    # reference composition (WindowAttention math)
+    hd = c // n_head
+    h = layer_norm(x, ln_w, ln_b) * (1 + scale) + shift
+    qkv = h @ wqkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(g, w, n_head, hd)
+    k = k.reshape(g, w, n_head, hd)
+    v = v.reshape(g, w, n_head, hd)
+    s = jnp.einsum("gqhd,gkhd->ghqk", q * hd ** -0.5, k)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("ghqk,gkhd->gqhd", p, v).reshape(g, w, c)
+    want = x + (o @ wo + bo) * gate
+
+    got = fused_attn_block(x, scale, shift, gate, ln_w, ln_b, wqkv, bqkv,
+                           wo, bo, n_head=n_head, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
