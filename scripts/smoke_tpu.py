@@ -1,5 +1,12 @@
 """Drive bitdance_tpu's public API on the real TPU chip."""
+import os
+import sys
 import time
+
+# allow `python scripts/smoke_tpu.py` without a PYTHONPATH (which would
+# break the axon PJRT plugin): put the repo root on sys.path ourselves
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax, jax.numpy as jnp
 import numpy as np
 
