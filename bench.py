@@ -11,9 +11,28 @@ Usage: python bench.py [--quick] [--batch N] [--model B|L|H] [--parallel P]
 """
 
 import argparse
+import glob
 import json
+import os
 import sys
 import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def prior_value(metric: str):
+    """Latest driver-recorded value for `metric` from BENCH_r*.json history."""
+    found = None
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        if parsed.get("metric") == metric and isinstance(
+                parsed.get("value"), (int, float)):
+            found = float(parsed["value"])
+    return found
 
 
 def main():
@@ -125,11 +144,16 @@ def main():
 
     best = min(times)
     imgs_per_sec = args.batch / best
+    metric = f"imagenet256_{args.model}_{args.parallel}x_images_per_sec_per_chip"
+    prev = prior_value(metric)
     result = {
-        "metric": f"imagenet256_{args.model}_{args.parallel}x_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": 1.0,
+        # no published reference wall-clock exists (BASELINE.json
+        # "published": {}), so the baseline is the last driver-recorded
+        # round: a regression shows up as vs_baseline < 1.
+        "vs_baseline": round(imgs_per_sec / prev, 4) if prev else 1.0,
     }
     print(json.dumps(result))
     print(f"# batch={args.batch} steps={args.sample_steps} "

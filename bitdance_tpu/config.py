@@ -102,6 +102,8 @@ def mllm_train_config_from_yaml(cfg: ConfigDict):
         max_grad_norm=float(t.get("max_grad_norm", 1.0)),
         loss_weight_text=float(t.get("loss_weight_text", 1.0)),
         loss_weight_vision=float(t.get("loss_weight_vision", 1.0)),
+        grad_accum=int(t.get("grad_accum",
+                             t.get("gradient_accumulation_steps", 1))),
     )
 
 

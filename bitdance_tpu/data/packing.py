@@ -231,3 +231,17 @@ def pack_t2i_batch(
         vision_input_pos_embed=pad2(vis_in_pe, v_budget, hidden),
     )
     return batch
+
+
+def stack_packed_batches(raws: list[dict], grad_accum: int = 1) -> dict:
+    """Stack fixed-shape packed sequences into the batched train-step layout:
+    [B, ...] per field, or [grad_accum, B/grad_accum, ...] when accumulating.
+    All sequences must share one (seq/text/vis) budget so shapes agree."""
+    out = {k: np.stack([r[k] for r in raws]) for k in raws[0]}
+    if grad_accum > 1:
+        b = len(raws)
+        assert b % grad_accum == 0, (
+            f"batch {b} not divisible by grad_accum {grad_accum}")
+        out = {k: v.reshape(grad_accum, b // grad_accum, *v.shape[1:])
+               for k, v in out.items()}
+    return out

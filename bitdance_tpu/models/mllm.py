@@ -108,23 +108,13 @@ def init_mllm_params(key: jax.Array, cfg: MLLMConfig,
     return {"llm": llm, "projector": proj_params, "head": head_params}
 
 
-def mllm_forward_train(
-    params: dict,
-    cfg: MLLMConfig,
-    batch: PackedBatch,
-    rng: jax.Array,
-    train: bool = True,
-) -> dict:
-    """Returns {'ce_loss_text', 'ce_loss_vision'} scalars (weighted means).
-
-    Mirrors mllm.py:163-255; the driver applies loss_weight_text=0.01 /
-    loss_weight_vision=1.0 (bitdance_14b_64x.yaml:86-87).
-    """
+def _assemble_seq(params: dict, cfg: MLLMConfig, batch: PackedBatch,
+                  k_perturb: jax.Array, train: bool) -> jax.Array:
+    """Scatter text embeds + projected vision latents into one packed
+    sequence [L, D] (mllm.py:163-228's index_copy assembly)."""
     D = cfg.llm.hidden_size
     L = batch.position_ids.shape[0]
-    k_perturb, k_head = jax.random.split(rng)
 
-    # --- assemble packed sequence -----------------------------------------
     text_emb = q3.embed_tokens(params["llm"], batch.packed_text_ids)
     seq = jnp.zeros((L, D), text_emb.dtype)
     seq = seq.at[batch.packed_text_indexes].set(text_emb)
@@ -143,14 +133,13 @@ def mllm_forward_train(
     vis_emb = projector.apply(params["projector"], latents_in)
     # 2D pos-embed on vision input embeds (mllm.py:920-928)
     vis_emb = vis_emb + batch.vision_input_pos_embed.astype(vis_emb.dtype)
-    seq = seq.at[batch.vit_token_indexes].set(vis_emb.astype(seq.dtype))
+    return seq.at[batch.vit_token_indexes].set(vis_emb.astype(seq.dtype))
 
-    # --- LLM forward --------------------------------------------------------
-    hidden = q3.qwen3_forward(
-        params["llm"], cfg.llm, seq[None], batch.position_ids[None],
-        batch.block_ids[None], batch.doc_ids[None],
-        remat=(train and cfg.grad_checkpointing),
-    )[0]  # [L, D]
+
+def _losses_from_hidden(params: dict, cfg: MLLMConfig, batch: PackedBatch,
+                        hidden: jax.Array, k_head: jax.Array) -> dict:
+    """Per-sequence weighted-mean losses from LLM output hidden [L, D]."""
+    D = cfg.llm.hidden_size
 
     # --- text CE ------------------------------------------------------------
     txt_hidden = hidden[batch.ce_text_indexes]
@@ -174,7 +163,9 @@ def mllm_forward_train(
     p = cfg.parallel_num
     vis_hidden = hidden[batch.vision_loss_indexes] + batch.vision_pos_embed.astype(
         hidden.dtype)
-    vis_labels = latents[batch.vision_label_indexes]
+    # labels are the CLEAN latents; bit-flip perturbation only touches the
+    # model inputs in _assemble_seq (mllm.py:909-916)
+    vis_labels = batch.vision_latents[batch.vision_label_indexes]
     cond = vis_hidden.reshape(-1, p, D)
     target = vis_labels.reshape(-1, p, cfg.z_channels)
     if cfg.diff_batch_mul > 1:
@@ -189,3 +180,61 @@ def mllm_forward_train(
     ce_loss_vision = jnp.sum(per_token * vw) / vsum
 
     return {"ce_loss_text": ce_loss_text, "ce_loss_vision": ce_loss_vision}
+
+
+def mllm_forward_train(
+    params: dict,
+    cfg: MLLMConfig,
+    batch: PackedBatch,
+    rng: jax.Array,
+    train: bool = True,
+) -> dict:
+    """Returns {'ce_loss_text', 'ce_loss_vision'} scalars (weighted means)
+    for ONE packed sequence (fields unbatched).
+
+    Mirrors mllm.py:163-255; the driver applies loss_weight_text=0.01 /
+    loss_weight_vision=1.0 (bitdance_14b_64x.yaml:86-87).
+    """
+    k_perturb, k_head = jax.random.split(rng)
+    seq = _assemble_seq(params, cfg, batch, k_perturb, train)
+    hidden = q3.qwen3_forward(
+        params["llm"], cfg.llm, seq[None], batch.position_ids[None],
+        batch.block_ids[None], batch.doc_ids[None],
+        remat=(train and cfg.grad_checkpointing),
+    )[0]  # [L, D]
+    return _losses_from_hidden(params, cfg, batch, hidden, k_head)
+
+
+def mllm_forward_train_batched(
+    params: dict,
+    cfg: MLLMConfig,
+    batch: PackedBatch,
+    rng: jax.Array,
+    train: bool = True,
+) -> dict:
+    """Batched packed forward: every PackedBatch field carries a leading
+    batch axis [B, ...] (one packed sequence per data-parallel shard).
+
+    The LLM runs ONCE on [B, L, D] (the MXU-friendly layout) rather than
+    vmapping the whole model; sequence assembly and loss heads are vmapped.
+    Loss semantics match DDP/HSDP gradient averaging: per-sequence weighted
+    means, then an unweighted mean over sequences (fsdp_utils.py:80-104 —
+    each rank computes its own weighted mean and gradients are averaged).
+    """
+    B = batch.position_ids.shape[0]
+    k_perturb, k_head = jax.random.split(rng)
+    perturb_keys = jax.random.split(k_perturb, B)
+    head_keys = jax.random.split(k_head, B)
+
+    seq = jax.vmap(
+        lambda b, k: _assemble_seq(params, cfg, b, k, train),
+        in_axes=(0, 0))(batch, perturb_keys)           # [B, L, D]
+    hidden = q3.qwen3_forward(
+        params["llm"], cfg.llm, seq, batch.position_ids,
+        batch.block_ids, batch.doc_ids,
+        remat=(train and cfg.grad_checkpointing),
+    )                                                   # [B, L, D]
+    outs = jax.vmap(
+        lambda b, h, k: _losses_from_hidden(params, cfg, b, h, k),
+        in_axes=(0, 0, 0))(batch, hidden, head_keys)
+    return {k: jnp.mean(v) for k, v in outs.items()}

@@ -54,9 +54,11 @@ def main():
     from bitdance_tpu.parallel.mesh import create_mesh
     from bitdance_tpu.train import optim as opt_lib
     from bitdance_tpu.train.checkpoints import CheckpointManager
+    from bitdance_tpu.data.packing import stack_packed_batches
     from bitdance_tpu.train.mllm_train import (
         eval_step,
         make_sharded_train_step,
+        make_state,
         make_tx,
     )
     import functools
@@ -91,7 +93,7 @@ def main():
         logger.info(f"initialized LLM from {args.hf_llm}")
 
     tx = make_tx(params, tcfg)
-    state = opt_lib.TrainState.create(params, tx, with_ema=False)
+    state = make_state(params, tx, tcfg)
     step_fn, state_sh = make_sharded_train_step(mesh, state, cfg, tcfg, tx)
     state = jax.device_put(state, state_sh)
 
@@ -120,17 +122,28 @@ def main():
     total_steps = (args.max_steps if args.max_steps > 0
                    else int(ycfg.training.get("total_steps", 10**6)))
 
+    # one DISTINCT packed sequence per data-parallel shard per microbatch
+    # (HYBRID_SHARD data layout, fsdp_utils.py:80-104)
+    dp = mesh.shape["replica"] * mesh.shape["fsdp"]
+    seqs_per_step = dp * max(tcfg.grad_accum, 1)
+
+    def load_step_batch(fi):
+        raws = [dict(np.load(os.path.join(args.data_dir,
+                                          files[(fi + j) % len(files)])))
+                for j in range(seqs_per_step)]
+        raw = stack_packed_batches(raws, grad_accum=tcfg.grad_accum)
+        return PackedBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+
     fi = start_file
     while global_step < total_steps:
-        raw = dict(np.load(os.path.join(args.data_dir, files[fi % len(files)])))
-        batch = PackedBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+        batch = load_step_batch(fi)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
         acc.update(loss=metrics["loss"], grad_norm=metrics["grad_norm"],
                    ce_loss_text=metrics["ce_loss_text"],
                    ce_loss_vision=metrics["ce_loss_vision"])
         global_step += 1
-        fi += 1
+        fi += seqs_per_step
         if global_step % log_every == 0:
             means, sps = acc.flush()
             logger.info(f"(step={global_step:07d}) "
