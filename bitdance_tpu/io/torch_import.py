@@ -203,3 +203,57 @@ def load_hf_qwen3_dir(model_dir: str, dtype=jnp.bfloat16) -> tuple[dict, dict]:
         state = load_safetensors(os.path.join(model_dir, "model.safetensors"))
     params = convert_qwen3_state(state, cfg["num_hidden_layers"], dtype)
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# ImageNet AR (imagenet_gen/src/model.py BitDance) import
+# ---------------------------------------------------------------------------
+
+_IMAGENET_LAYER_KEYS = {
+    "attention.wqkv.weight": ("wqkv", True),
+    "attention.wo.weight": ("wo", True),
+    "attention_norm.weight": ("attention_norm", False),
+    "ffn_norm.weight": ("ffn_norm", False),
+    "feed_forward.w1.weight": ("ffn_w1", True),
+    "feed_forward.w2.weight": ("ffn_w2", True),
+}
+
+
+def convert_imagenet_ar_state(
+    state: Mapping[str, Any], n_layer: int, dtype=jnp.float32
+) -> dict:
+    """imagenet BitDance backbone state dict -> stacked-layer pytree
+    (models/imagenet_ar.py init_ar_params layout). Head and VAE weights use
+    convert_diffhead_state / convert_ae_state; this covers cls_embedding,
+    proj_in, emb_norm, layers.*, norm, pos_for_diff, query_token
+    (model.py:142-199 / model_parallel.py)."""
+
+    def get(key):
+        t = state[key]
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return np.asarray(t, np.float32)
+
+    layers: dict[str, list] = {n: [] for n, _ in _IMAGENET_LAYER_KEYS.values()}
+    for i in range(n_layer):
+        for tk, (name, transpose) in _IMAGENET_LAYER_KEYS.items():
+            t = get(f"layers.{i}.{tk}")
+            layers[name].append(t.T if transpose else t)
+
+    params = {
+        "cls_embedding": jnp.asarray(get("cls_embedding.weight"), dtype),
+        "proj_in": {
+            "w1": {"kernel": jnp.asarray(get("proj_in.w1.weight").T, dtype),
+                   "bias": jnp.asarray(get("proj_in.w1.bias"), dtype)},
+            "w2": {"kernel": jnp.asarray(get("proj_in.w2.weight").T, dtype),
+                   "bias": jnp.asarray(get("proj_in.w2.bias"), dtype)},
+        },
+        "emb_norm": jnp.asarray(get("emb_norm.weight"), dtype),
+        "layers": {n: jnp.asarray(np.stack(ts), dtype)
+                   for n, ts in layers.items()},
+        "norm": jnp.asarray(get("norm.weight"), dtype),
+        "pos_for_diff": jnp.asarray(get("pos_for_diff.weight"), dtype),
+    }
+    if "query_token" in state:
+        params["query_token"] = jnp.asarray(get("query_token"), dtype)
+    return params

@@ -56,12 +56,18 @@ def euler_maruyama(
     num_sampling_steps: int = 20,
     last_step_size: float = 0.05,
     flow_shift: float = 1.0,
+    x_init: jax.Array | None = None,
+    stochastic: bool = True,
 ) -> jax.Array:
     """Sample latents conditioned on `cond` (sampling_x.py:44-97).
 
     net_fn(x, t_batch, cond) -> x-prediction, same shape as x.
     cond rows are ordered [cond; uncond] when cfg_mult == 2.
     Returns latents with cond's leading dim // cfg_mult.
+
+    x_init overrides the initial noise draw and stochastic=False drops the
+    per-step diffusion noise (drift-only ODE) — both for reproducibility
+    and golden-parity testing against the reference sampler.
     """
     if cfg_mult is None:
         assert isinstance(cfg, (int, float)), "traced cfg requires explicit cfg_mult"
@@ -73,7 +79,8 @@ def euler_maruyama(
     x_shape[-1] = input_dim
 
     key, k0 = jax.random.split(key)
-    x = jax.random.normal(k0, tuple(x_shape), jnp.float32)
+    x = (jax.random.normal(k0, tuple(x_shape), jnp.float32)
+         if x_init is None else x_init.astype(jnp.float32))
 
     t_all = jnp.linspace(0.0, 1.0 - last_step_size, num_sampling_steps + 1)
     t_all = time_shift(t_all, flow_shift)
@@ -96,8 +103,10 @@ def euler_maruyama(
         v = _predict_v(x, t)
         score = _score_from_velocity(v, x, t)
         drift = v + (1.0 - t) * score
-        noise_scale = jnp.sqrt(2.0 * (1.0 - t) * dt)
-        x = x + drift * dt + noise_scale * jax.random.normal(kn, x.shape, jnp.float32)
+        x = x + drift * dt
+        if stochastic:
+            noise_scale = jnp.sqrt(2.0 * (1.0 - t) * dt)
+            x = x + noise_scale * jax.random.normal(kn, x.shape, jnp.float32)
         return (x, key), None
 
     (x, key), _ = jax.lax.scan(step, (x, key), (ts, dts))
@@ -117,6 +126,7 @@ def euler(
     cfg: jax.Array | float = 1.0,
     cfg_mult: int = 2,
     num_sampling_steps: int = 50,
+    x_init: jax.Array | None = None,
 ) -> jax.Array:
     """Plain Euler ODE variant (sampling_x.py:100-125)."""
     cfg = jnp.asarray(cfg, jnp.float32)
@@ -124,7 +134,8 @@ def euler(
     x_shape[0] //= cfg_mult
     x_shape[-1] = input_dim
     key, k0 = jax.random.split(key)
-    x = jax.random.normal(k0, tuple(x_shape), jnp.float32)
+    x = (jax.random.normal(k0, tuple(x_shape), jnp.float32)
+         if x_init is None else x_init.astype(jnp.float32))
     dt = 1.0 / num_sampling_steps
     ts = jnp.arange(num_sampling_steps, dtype=jnp.float32) * dt
 

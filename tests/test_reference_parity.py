@@ -1,0 +1,284 @@
+"""Golden parity vs the ACTUAL reference torch modules (SURVEY §4a).
+
+Imports the reference implementation from /root/reference (torch, CPU),
+transplants weights through bitdance_tpu.io.torch_import, and asserts output
+parity within fp32 tolerance. Any convention drift (conv layout, RoPE
+pairing, norm eps, adaLN ordering, sampler math) fails here.
+
+Skipped entirely when the reference checkout is not present, so the repo
+stays standalone.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = os.environ.get("BITDANCE_REFERENCE", "/root/reference")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available")
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+
+def _install_ref_imports():
+    """Make the reference importable on CPU: namespace-package path plus a
+    plain-torch flash_attn stub (the real one is CUDA-only)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if "flash_attn" not in sys.modules:
+        import torch.nn.functional as F
+
+        mod = types.ModuleType("flash_attn")
+
+        def flash_attn_func(q, k, v, causal=False, dropout_p=0.0, **kw):
+            # [B, S, H, D] layout in/out, matching flash-attn's contract
+            q, k, v = (t.transpose(1, 2) for t in (q, k, v))
+            o = F.scaled_dot_product_attention(q, k, v, is_causal=causal)
+            return o.transpose(1, 2)
+
+        mod.flash_attn_func = flash_attn_func
+        sys.modules["flash_attn"] = mod
+
+
+def _np_state(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def _randomize_(module, scale=0.05, seed=0):
+    """Replace every parameter with small random values (zero-inited adaLN /
+    final layers would otherwise make output parity vacuous)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * scale)
+
+
+TINY_DD = dict(z_channels=8, in_channels=3, out_ch=3, ch=32, ch_mult=[1, 2],
+               num_res_blocks=1)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer (modeling/vision_encoder/autoencoder.py:354 VQModel)
+# ---------------------------------------------------------------------------
+
+def _ref_vq():
+    _install_ref_imports()
+    from modeling.vision_encoder import autoencoder as ref_ae
+
+    torch.manual_seed(0)
+    m = ref_ae.VQModel(TINY_DD)
+    m.eval()
+    return m
+
+
+def test_tokenizer_encode_parity():
+    ref = _ref_vq()
+    from bitdance_tpu.io.torch_import import convert_ae_state
+    from bitdance_tpu.models.tokenizer import VQModel
+
+    params = convert_ae_state(_np_state(ref))
+    mine = VQModel(ddconfig=TINY_DD)
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want_h = ref.encoder(torch.from_numpy(x)).permute(0, 2, 3, 1).numpy()
+    got_h = np.asarray(mine.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                  method=VQModel.encode_raw))
+    np.testing.assert_allclose(got_h, want_h, rtol=1e-4, atol=1e-4)
+
+    # sign tokens agree wherever |h| is not borderline-zero
+    with torch.no_grad():
+        want_q = ref.encode(torch.from_numpy(x)).permute(0, 2, 3, 1).numpy()
+    got_q = np.asarray(mine.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                  method=VQModel.encode))
+    solid = np.abs(want_h) > 1e-4
+    assert (got_q == want_q)[solid].all()
+
+
+def test_tokenizer_decode_parity():
+    ref = _ref_vq()
+    from bitdance_tpu.io.torch_import import convert_ae_state
+    from bitdance_tpu.models.tokenizer import VQModel
+
+    params = convert_ae_state(_np_state(ref))
+    mine = VQModel(ddconfig=TINY_DD)
+
+    z = np.sign(np.random.default_rng(1).normal(size=(2, 8, 4, 4))
+                ).astype(np.float32)
+    with torch.no_grad():
+        want = ref.decoder(torch.from_numpy(z)).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(mine.apply(params, jnp.asarray(z.transpose(0, 2, 3, 1)),
+                                method=VQModel.decode))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# DiffHead net (modeling/vision_head/flow_head_parallel_x.py:32)
+# ---------------------------------------------------------------------------
+
+def _heads(parallel_num=4):
+    _install_ref_imports()
+    from modeling.vision_head import flow_head_parallel_x as ref_fh
+
+    from bitdance_tpu.io.torch_import import convert_diffhead_state
+    from bitdance_tpu.models.diff_head import DiffHead
+
+    # ch_latent=128: the reference hardcodes attention head_dim 128
+    # (flow_head_parallel_x.py:227)
+    kw = dict(ch_target=8, ch_cond=16, ch_latent=128, depth_latent=2,
+              depth_adanln=2, parallel_num=parallel_num, use_swiglu=True)
+    ref = ref_fh.DiffHead(**kw)
+    _randomize_(ref, seed=3)
+    ref.eval()
+    mine = DiffHead(**kw)
+    params = convert_diffhead_state(_np_state(ref))
+    return ref, mine, params
+
+
+def test_diffhead_net_forward_parity():
+    """TransEncoder forward at fixed (x, t, c): covers input proj, timestep
+    embed, cond embed, shared adaLN switching, window attention, SwiGLU,
+    final layer, and the bounded 2*sigmoid-1 output
+    (flow_head_parallel_x.py:254-340)."""
+    ref, mine, params = _heads()
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 4, 8)).astype(np.float32)
+    t = rng.uniform(0.05, 0.95, size=(2,)).astype(np.float32)
+    c = rng.normal(size=(2, 4, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.net(torch.from_numpy(x), torch.from_numpy(t),
+                       torch.from_numpy(c)).numpy()
+    got = np.asarray(mine.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(c),
+        method=lambda m, xx, tt, cc: m.net(xx, tt, cc)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_euler_maruyama_trajectory_parity(monkeypatch):
+    """Full EM sampler trajectory, noise-free: identical x0, zero per-step
+    noise on both sides -> identical drift integration
+    (sampling_x.py:24-97)."""
+    _install_ref_imports()
+    from modeling.vision_head import sampling_x as ref_s
+
+    from bitdance_tpu.models import sampling as my_s
+
+    ref, mine, params = _heads()
+    rng = np.random.default_rng(7)
+    cond = rng.normal(size=(4, 4, 16)).astype(np.float32)   # [cond; uncond]
+    x0 = rng.normal(size=(2, 4, 8)).astype(np.float32)
+
+    monkeypatch.setattr(torch, "randn",
+                        lambda *s, **k: torch.from_numpy(x0.copy()))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda t, **k: torch.zeros_like(t))
+    with torch.no_grad():
+        want = ref_s.euler_maruyama(
+            8, lambda xx, tt, cc: ref.net(xx, tt, cc),
+            torch.from_numpy(cond), cfg=2.0, num_sampling_steps=6,
+            time_shift=1.0,
+        ).numpy()[:2]   # reference tiles the result cfg_mult times
+
+    def net_fn(xx, tt, cc):
+        return mine.apply(params, xx, tt, cc,
+                          method=lambda m, *a: m.net(*a))
+
+    got = np.asarray(my_s.euler_maruyama(
+        net_fn, jnp.asarray(cond), jax.random.PRNGKey(0), 8, cfg=2.0,
+        num_sampling_steps=6, x_init=jnp.asarray(x0), stochastic=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_euler_trajectory_parity(monkeypatch):
+    """Plain euler, including the reference's raw-velocity treatment of the
+    x-prediction output (sampling_x.py:100-125, quirk preserved)."""
+    _install_ref_imports()
+    from modeling.vision_head import sampling_x as ref_s
+
+    from bitdance_tpu.models import sampling as my_s
+
+    ref, mine, params = _heads()
+    rng = np.random.default_rng(11)
+    cond = rng.normal(size=(4, 4, 16)).astype(np.float32)
+    x0 = rng.normal(size=(2, 4, 8)).astype(np.float32)
+
+    monkeypatch.setattr(torch, "randn",
+                        lambda *s, **k: torch.from_numpy(x0.copy()))
+    with torch.no_grad():
+        want = ref_s.euler(
+            8, lambda xx, tt, cc: ref.net(xx, tt, cc),
+            torch.from_numpy(cond), cfg=2.0, num_sampling_steps=5,
+        ).numpy()[:2]
+
+    def net_fn(xx, tt, cc):
+        return mine.apply(params, xx, tt, cc,
+                          method=lambda m, *a: m.net(*a))
+
+    got = np.asarray(my_s.euler(
+        net_fn, jnp.asarray(cond), jax.random.PRNGKey(0), 8, cfg=2.0,
+        cfg_mult=2, num_sampling_steps=5, x_init=jnp.asarray(x0)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# ImageNet AR backbone (imagenet_gen/src/model.py:256 BitDance)
+# ---------------------------------------------------------------------------
+
+def test_imagenet_backbone_parity(monkeypatch):
+    """BitDance.forward_model (emb_norm -> rope'd causal layers -> norm) at
+    fixed embedded inputs, weights transplanted into the stacked-scan
+    layout (model.py:308-316)."""
+    _install_ref_imports()
+    import torch._dynamo
+
+    monkeypatch.setattr(torch._dynamo.config, "disable", True)
+    from imagenet_gen.src import model as ref_m
+
+    # the hard-coded ch=256 VAE inside BitDance.__init__ is irrelevant to
+    # the backbone; replace it to keep the test light
+    monkeypatch.setattr(ref_m, "VQModel", lambda *a, **k: torch.nn.Identity())
+
+    torch.manual_seed(0)
+    ref = ref_m.BitDance(
+        dim=64, n_layer=2, n_head=4, diff_layers=2, diff_dim=32,
+        diff_adanln_layers=1, latent_dim=8, down_size=16, patch_size=1,
+        resolution=64, diff_batch_mul=1, cls_token_num=4, num_classes=10,
+    )
+    ref.eval()
+
+    from bitdance_tpu.io.torch_import import convert_imagenet_ar_state
+    from bitdance_tpu.models.imagenet_ar import (
+        ImageNetARConfig,
+        ar_backbone,
+        freqs_cis_table,
+    )
+    from bitdance_tpu.ops.norms import rms_norm
+
+    cfg = ImageNetARConfig(
+        dim=64, n_layer=2, n_head=4, diff_layers=2, diff_dim=32,
+        diff_adanln_layers=1, latent_dim=8, resolution=64, cls_token_num=4,
+        num_classes=10, parallel_num=1)
+    params = convert_imagenet_ar_state(_np_state(ref), cfg.n_layer)
+
+    L = ref.freqs_cis.shape[0]            # total_tokens - 1
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(2, L, 64)).astype(np.float32) * 0.1
+
+    with torch.no_grad():
+        want = ref.forward_model(torch.from_numpy(x), 0, L).numpy()
+
+    freqs = freqs_cis_table(cfg)
+    assert freqs.shape[0] == L, (freqs.shape, L)
+    block = jnp.arange(L, dtype=jnp.int32)
+    doc = jnp.zeros((L,), jnp.int32)
+
+    h = rms_norm(jnp.asarray(x), params["emb_norm"])
+    h = ar_backbone(params, cfg, h, freqs, block, doc)
+    got = np.asarray(rms_norm(h, params["norm"]))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
