@@ -77,7 +77,7 @@ def generate_tokens(
     latent_h: int,
     latent_w: int,
     num_images: int,
-    guidance_scale: float,
+    guidance_scale: jax.Array | float,
     num_sampling_steps: int,
 ) -> jax.Array:
     """Run prefill + AR decode; returns ±1 tokens [n, h*w, z_channels].
@@ -177,15 +177,19 @@ class T2IPipeline:
         self.pos_table = build_pos_table(bundle)
         self._jitted = {}
 
-    def _compiled(self, P, latent_h, latent_w, n, cfg_scale, steps):
-        key = (P, latent_h, latent_w, n, float(cfg_scale), steps)
+    def _compiled(self, P, latent_h, latent_w, n, steps):
+        # cfg_scale is a TRACED argument, not part of the compile key: a
+        # guidance slider must not trigger a recompile (app.py serves
+        # arbitrary float scales; compiles cost minutes at 14B size).
+        key = (P, latent_h, latent_w, n, steps)
         if key not in self._jitted:
             base = self.bundle
 
             # Params travel as jit ARGUMENTS — closing over them embeds the
             # full 14B weights as HLO constants, which overflows the compile
             # pipeline (multi-hundred-MB serialized programs).
-            def fn(params3, prompt_ids, prompt_pad, start_ids, pe, rng):
+            def fn(params3, prompt_ids, prompt_pad, start_ids, pe, cfg_scale,
+                   rng):
                 b = dataclasses.replace(
                     base, llm_params=params3["llm"],
                     head_params=params3["head"],
@@ -193,7 +197,7 @@ class T2IPipeline:
                 return generate_tokens(
                     b, prompt_ids, prompt_pad, start_ids, pe, rng,
                     latent_h=latent_h, latent_w=latent_w, num_images=n,
-                    guidance_scale=float(cfg_scale), num_sampling_steps=steps)
+                    guidance_scale=cfg_scale, num_sampling_steps=steps)
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -249,13 +253,14 @@ class T2IPipeline:
 
         pe = pos_embed_2d(self.pos_table, latent_h, latent_w, ps=b.ps)
         fn = self._compiled(P, latent_h, latent_w, num_images,
-                            guidance_scale, num_sampling_steps)
+                            num_sampling_steps)
         tokens = fn(
             self._params3(),
             jnp.asarray(rows, jnp.int32),
             jnp.asarray(pads, jnp.int32),
             jnp.asarray(start_ids, jnp.int32),
             pe,
+            jnp.float32(guidance_scale),
             jax.random.PRNGKey(seed),
         )
         img = self._decode_compiled(latent_h, latent_w)(b.ae_params, tokens)

@@ -173,3 +173,51 @@ def export_release_dir(
     for name, cfg in (configs or {}).items():
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
             json.dump(cfg, f, indent=2)
+
+
+def export_hf_qwen3(llm_params: dict, llm_cfg, out_dir: str) -> None:
+    """Write the LLM as an HF Qwen3 checkpoint (model.safetensors +
+    config.json) — the inverse of io/torch_import.convert_qwen3_state, so a
+    release dir round-trips through load_t2i_pipeline (t2i_pipeline.py:48-60).
+    """
+    import json
+
+    from safetensors.numpy import save_file
+
+    from bitdance_tpu.io.torch_import import _QWEN_LAYER_KEYS
+
+    os.makedirs(out_dir, exist_ok=True)
+    state: dict[str, np.ndarray] = {}
+
+    def put(key, arr, transpose):
+        a = np.asarray(arr, np.float32)
+        state[key] = np.ascontiguousarray(a.T if transpose else a)
+
+    put("model.embed_tokens.weight", llm_params["embed_tokens"], False)
+    put("model.norm.weight", llm_params["final_norm"], False)
+    layers = llm_params["layers"]
+    n_layers = next(iter(layers.values())).shape[0]
+    for hf_key, (name, transpose) in _QWEN_LAYER_KEYS.items():
+        stacked = np.asarray(layers[name], np.float32)
+        for i in range(n_layers):
+            put(f"model.layers.{i}.{hf_key}", stacked[i], transpose)
+    if "lm_head" in llm_params:
+        put("lm_head.weight", llm_params["lm_head"], True)
+    save_file(state, os.path.join(out_dir, "model.safetensors"))
+
+    cfg_json = {
+        "architectures": ["Qwen3ForCausalLM"],
+        "model_type": "qwen3",
+        "vocab_size": llm_cfg.vocab_size,
+        "hidden_size": llm_cfg.hidden_size,
+        "intermediate_size": llm_cfg.intermediate_size,
+        "num_hidden_layers": llm_cfg.num_hidden_layers,
+        "num_attention_heads": llm_cfg.num_attention_heads,
+        "num_key_value_heads": llm_cfg.num_key_value_heads,
+        "head_dim": llm_cfg.head_dim,
+        "rms_norm_eps": llm_cfg.rms_norm_eps,
+        "rope_theta": llm_cfg.rope_theta,
+        "tie_word_embeddings": llm_cfg.tie_word_embeddings,
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg_json, f, indent=2)
