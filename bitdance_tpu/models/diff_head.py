@@ -346,6 +346,10 @@ class DiffHead(nn.Module):
     bounded_output: bool | None = None
     attn_head_dim: int = 128
     dtype: Any = jnp.float32
+    # int8 weight-only quantization for the fused TPU sampler: the sampler
+    # is HBM-bound on block weights, so this ~halves sampling time; opt-in
+    # because it perturbs outputs at the ~1e-2 level pre-sign.
+    sample_weight_quant: bool = False
 
     def setup(self):
         self.net = DiffNet(
@@ -396,7 +400,14 @@ class DiffHead(nn.Module):
 
     def sample(self, cond, rng, cfg, num_sampling_steps: int,
                cfg_mult: int | None = None):
-        """Euler–Maruyama sampling conditioned on fused [cond; uncond] rows."""
+        """Euler–Maruyama sampling conditioned on fused [cond; uncond] rows.
+
+        On TPU the ENTIRE sampler (all net calls + EM updates) runs as one
+        Pallas kernel with VMEM-resident state and HBM-streamed block
+        weights (ops/fused_head.py); other backends use the lax.scan path.
+        """
+        if self._can_fuse_sample(cond, cfg_mult):
+            return self._fused_sample(cond, rng, cfg, num_sampling_steps)
         return euler_maruyama(
             lambda xx, tt, cc: self.net(xx, tt, cc),
             cond,
@@ -407,3 +418,114 @@ class DiffHead(nn.Module):
             num_sampling_steps=num_sampling_steps,
             flow_shift=self.time_shift,
         )
+
+    def _can_fuse_sample(self, cond, cfg_mult) -> bool:
+        from bitdance_tpu.ops.fused_head import fused_net_available
+
+        rows = 1
+        for d in cond.shape[:-1]:
+            rows *= d
+        return (
+            jax.default_backend() == "tpu"
+            and not self.is_initializing()
+            and cfg_mult == 2
+            and self.use_swiglu
+            and self.ch_latent % 128 == 0
+            and self.ch_latent % self.attn_head_dim == 0
+            and cond.ndim == (3 if self.attention else 2)
+            and rows % 2 == 0
+            and (not self.attention or cond.shape[0] % 2 == 0)
+            and fused_net_available(self.ch_latent, rows, self.attention)
+        )
+
+    def _stack_for_sampler(self):
+        from bitdance_tpu.ops.fused_head import stack_diffnet_params
+
+        return stack_diffnet_params(
+            self.variables["params"]["net"], self.depth_latent,
+            self.attention,
+            dtype=jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32,
+            quant=self.sample_weight_quant)
+
+    def _fused_sample(self, cond, rng, cfg, num_sampling_steps: int,
+                      stacked: dict | None = None):
+        if stacked is None:
+            stacked = self._stack_for_sampler()
+        return _run_fused_sample(self, stacked, cond, rng, cfg,
+                                 num_sampling_steps)
+
+
+def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,
+                      num_sampling_steps: int):
+    """Fused whole-sampler invocation from pre-stacked weights."""
+    from bitdance_tpu.ops.fused_head import em_precompute, fused_em_sample
+
+    mods_dtype = (jnp.bfloat16 if head.dtype == jnp.bfloat16
+                  else jnp.float32)
+    if head.attention:
+        g_all, w, _ = cond.shape
+        rows = g_all * w
+    else:
+        g_all, w = 1, cond.shape[0]
+        rows = cond.shape[0]
+    half = rows // 2
+    c_flat = cond.reshape(rows, -1).astype(jnp.float32)
+    c_emb = c_flat @ stacked["cond_w"] + stacked["cond_b"]
+
+    last_step = 0.05
+    t_all = jnp.linspace(0.0, 1.0 - last_step, num_sampling_steps + 1)
+    t_all = time_shift(t_all, head.time_shift).astype(jnp.float32)
+    dt_all = jnp.concatenate(
+        [t_all[1:] - t_all[:-1], jnp.zeros((1,), jnp.float32)])
+    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=mods_dtype)
+
+    k0, kn = jax.random.split(rng)
+    x0 = jax.random.normal(k0, (half, head.ch_target), jnp.float32)
+    noise = jax.random.normal(
+        kn, (num_sampling_steps, half, head.ch_target), jnp.float32)
+
+    bounded = (head.bounded_output if head.bounded_output is not None
+               else head.attention)
+    out = fused_em_sample(
+        stacked, x0, noise, allmods, t_all, dt_all,
+        jnp.asarray(cfg, jnp.float32),
+        num_blocks=head.depth_latent, num_ada=head.depth_adanln,
+        n_head=head.ch_latent // head.attn_head_dim, groups=g_all,
+        attention=head.attention, bounded=bounded,
+        last_step_size=last_step)
+    if head.attention:
+        return out.reshape(g_all // 2, w, head.ch_target)
+    return out
+
+
+def make_fused_sampler(head: DiffHead, head_variables: dict):
+    """Build a sampling closure with head weights PRE-STACKED (and, when
+    head.sample_weight_quant, pre-quantized) for the fused TPU sampler.
+
+    Call OUTSIDE the AR decode scan: XLA does not reliably hoist the
+    stack/quantize chain out of `lax.scan`, which otherwise re-materializes
+    ~100MB of weights per AR step. The returned fn falls back to the
+    lax.scan sampler when the fused path doesn't apply to `cond`.
+
+    sample_fn(cond, rng, cfg, num_sampling_steps, cfg_mult=2) -> latents
+    """
+    if jax.default_backend() != "tpu":
+        stacked = None
+    else:
+        stacked = head.apply(head_variables,
+                             method=DiffHead._stack_for_sampler)
+
+    def sample_fn(cond, rng, cfg, num_sampling_steps, cfg_mult=2):
+        def impl(m: DiffHead, cond, rng, cfg):
+            if stacked is not None and m._can_fuse_sample(cond, cfg_mult):
+                return m._fused_sample(cond, rng, cfg, num_sampling_steps,
+                                       stacked=stacked)
+            return euler_maruyama(
+                lambda xx, tt, cc: m.net(xx, tt, cc), cond, rng,
+                m.ch_target, cfg=cfg, cfg_mult=cfg_mult,
+                num_sampling_steps=num_sampling_steps,
+                flow_shift=m.time_shift)
+
+        return head.apply(head_variables, cond, rng, cfg, method=impl)
+
+    return sample_fn

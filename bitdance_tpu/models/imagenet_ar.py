@@ -425,6 +425,11 @@ def sample(
         b2, cfg.cls_token_num, cfg.dim)
     cache = _init_cache(cfg, b2, dtype=c.dtype)
 
+    # pre-stack head weights for the fused TPU sampler OUTSIDE the AR scan
+    from bitdance_tpu.models.diff_head import make_fused_sampler
+
+    head_sampler = make_fused_sampler(head, head_params)
+
     def head_sample(x, step, key):
         """x: [B2, p, dim]; step: traced position index."""
         pe = jax.lax.dynamic_slice(
@@ -436,13 +441,8 @@ def sample(
             cfg_iter = jnp.float32(cfg_scale)
         if p == 1:
             x = x.reshape(-1, cfg.dim)
-        pred = euler_maruyama(
-            lambda xx, tt, cc: head.apply(head_params, xx, tt, cc,
-                                          method=lambda m, *a: m.net(*a)),
-            x, key, cfg.token_dim, cfg=cfg_iter, cfg_mult=cfg_mult,
-            num_sampling_steps=num_sampling_steps,
-            flow_shift=cfg.time_shift,
-        )
+        pred = head_sampler(x, key, cfg_iter, num_sampling_steps,
+                            cfg_mult=cfg_mult)
         pred = jnp.sign(pred)
         pred = jnp.where(pred == 0, 1.0, pred)
         return pred.reshape(n, p, cfg.token_dim)

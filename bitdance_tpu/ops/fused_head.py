@@ -1,0 +1,583 @@
+"""Whole-net fused diffusion-head kernel.
+
+The EM sampler calls the head net 50-100x sequentially per AR step
+(sampling_x.py:44-97), and profiling shows the head is 60-75% of the T2I /
+ImageNet sampling step with per-BLOCK fusion already at the op-launch floor
+(~0.34 ms/net-call). This kernel runs the ENTIRE DiffNet forward
+(flow_head_parallel_x.py:254-340) — timestep embedding + its MLP, cond add,
+input projection, every adaLN block (window attention + SwiGLU), and the
+final layer — as ONE `pallas_call`:
+
+  - grid = (num_blocks,): the sequential TPU grid doubles as the layer loop;
+    per-block weights are BlockSpec'd on the grid index so Pallas's pipeline
+    machinery double-buffers the next block's HBM->VMEM DMA behind the
+    current block's compute (the "weights streamed from HBM" design — total
+    weights exceed VMEM, per-block slices don't).
+  - activations (h, y, mods) live in VMEM scratch, which persists across the
+    sequential grid steps; prologue (t-embed, input proj) runs under
+    `pl.when(l == 0)`, the adaLN switch recomputes mods only when the grid
+    crosses an ada group boundary, and the epilogue (final layer, bounded
+    output) runs under `pl.when(l == L-1)`.
+  - fp32 accumulation everywhere; weights stay in their storage dtype (bf16)
+    on the MXU.
+
+Supports both head families: attention=True (TransEncoder, 6 mods/block,
+window attention over the parallel dim) and attention=False (MlpEncoder,
+3 mods/block). SwiGLU MLPs only (both production heads use SwiGLU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_cols(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-column int8 weight-only quantization.
+    Returns (int8 weights, f32 scales[1, out])."""
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0,
+                    keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def stack_diffnet_params(net_params: dict, num_blocks: int,
+                         attention: bool, dtype=jnp.bfloat16,
+                         quant: bool = False) -> dict:
+    """DiffNet flax tree -> stacked [L, ...] arrays for the fused kernel.
+
+    Call ONCE outside the sampler loop (e.g. at the top of DiffHead.sample):
+    stacking inside the scan would re-materialize all weights per net call.
+
+    quant=True stores the big per-block matrices (wqkv, wo, w1, w2) as int8
+    with per-column scales — the sampler is HBM-bound on these weights, so
+    halving their bytes nearly halves the whole head; dequantization rides
+    the VPU inside the kernel.
+    """
+    p = net_params
+    blk = [p[f"block_{i}"] for i in range(num_blocks)]
+
+    def stack(getter):
+        return jnp.stack([getter(b).astype(dtype) for b in blk])
+
+    def stack_q(getter):
+        qs = [quantize_cols(getter(b)) for b in blk]
+        return (jnp.stack([q for q, _ in qs]),
+                jnp.stack([s for _, s in qs]))
+
+    out = {
+        "in_w": p["input_proj"]["kernel"].astype(dtype),
+        "in_b": p["input_proj"]["bias"].astype(jnp.float32),
+        "t_w0": p["time_embed"]["mlp_0"]["kernel"].astype(dtype),
+        "t_b0": p["time_embed"]["mlp_0"]["bias"].astype(jnp.float32),
+        "t_w2": p["time_embed"]["mlp_2"]["kernel"].astype(dtype),
+        "t_b2": p["time_embed"]["mlp_2"]["bias"].astype(jnp.float32),
+        "b1": stack(lambda b: b["w1"]["bias"][None]),
+        "b2": stack(lambda b: b["w2"]["bias"][None]),
+        "f_ada_w": p["final_layer"]["ada_ln_modulation"]["kernel"].astype(dtype),
+        "f_ada_b": p["final_layer"]["ada_ln_modulation"]["bias"].astype(jnp.float32),
+        "f_out_w": p["final_layer"]["linear"]["kernel"].astype(dtype),
+        "f_out_b": p["final_layer"]["linear"]["bias"].astype(jnp.float32),
+        "cond_w": p["cond_embed"]["kernel"].astype(jnp.float32),
+        "cond_b": p["cond_embed"]["bias"].astype(jnp.float32),
+    }
+    if quant:
+        out["w1"], out["w1_s"] = stack_q(lambda b: b["w1"]["kernel"])
+        out["w2"], out["w2_s"] = stack_q(lambda b: b["w2"]["kernel"])
+    else:
+        out["w1"] = stack(lambda b: b["w1"]["kernel"])
+        out["w2"] = stack(lambda b: b["w2"]["kernel"])
+    n_ada = len([k for k in p if k.startswith("ada_ln_")])
+    out["ada_w"] = jnp.stack(
+        [p[f"ada_ln_{i}"]["kernel"].astype(dtype) for i in range(n_ada)])
+    out["ada_b"] = jnp.stack(
+        [p[f"ada_ln_{i}"]["bias"][None].astype(jnp.float32)
+         for i in range(n_ada)])
+    # one concatenated projection [C, A*mC + 2C] -> ALL per-step mods
+    # (ada groups + final layer) in a single MXU-friendly matmul
+    out["modcat_w"] = jnp.concatenate(
+        [w for w in out["ada_w"]] + [out["f_ada_w"]], axis=1)
+    out["modcat_b"] = jnp.concatenate(
+        [b[0] for b in out["ada_b"]] + [out["f_ada_b"]], axis=0)
+    if attention:
+        out["n1"] = stack(lambda b: jnp.stack(
+            [b["norm1"]["weight"], b["norm1"]["bias"]]))       # [L, 2, C]
+        out["n2"] = stack(lambda b: jnp.stack(
+            [b["norm2"]["weight"], b["norm2"]["bias"]]))
+        if quant:
+            out["wqkv"], out["wqkv_s"] = stack_q(
+                lambda b: b["attn"]["wqkv"]["kernel"])
+            out["wo"], out["wo_s"] = stack_q(
+                lambda b: b["attn"]["wo"]["kernel"])
+        else:
+            out["wqkv"] = stack(lambda b: b["attn"]["wqkv"]["kernel"])
+            out["wo"] = stack(lambda b: b["attn"]["wo"]["kernel"])
+        out["bqkv"] = stack(lambda b: b["attn"]["wqkv"]["bias"][None])
+        out["bo"] = stack(lambda b: b["attn"]["wo"]["bias"][None])
+    else:
+        out["n2"] = stack(lambda b: jnp.stack(
+            [b["norm"]["weight"], b["norm"]["bias"]]))
+    return out
+
+
+def _ln(x, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _dot(a, w):
+    return jax.lax.dot_general(a.astype(w.dtype), w[...],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dq(w, scale):
+    """Dequantize int8 weights with per-column f32 scales -> bf16 (VPU)."""
+    if scale is None:
+        return w
+    return (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+
+
+def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
+                n_head: int, groups: int, eps: float,
+                w1_s=None, w2_s=None):
+    """One adaLN block (attention half optional + SwiGLU MLP half) on fp32
+    activations `h` [R, C]; `mods` [R, n_mods*C]; weight args are ARRAYS
+    (optionally int8 with per-column scales)."""
+    c_dim = h.shape[-1]
+
+    def moded(x, which, nrm):
+        scale = mods[:, which * c_dim:(which + 1) * c_dim]
+        shift = mods[:, (which + 1) * c_dim:(which + 2) * c_dim]
+        ln = _ln(x, eps) * nrm[0][None].astype(jnp.float32) \
+            + nrm[1][None].astype(jnp.float32)
+        return ln * (1.0 + scale) + shift
+
+    if attn_w is not None:
+        n1, wqkv, bqkv, wo, bo, wqkv_s, wo_s = attn_w
+        hd = c_dim // n_head
+        ha = moded(h, 0, n1)
+        qkv = _dot(ha, _dq(wqkv, wqkv_s)) + bqkv[None]       # [R, 3C]
+        w = h.shape[0] // groups
+        outs = []
+        for g in range(groups):
+            sl = slice(g * w, (g + 1) * w)
+            heads = []
+            for hh in range(n_head):
+                q = qkv[sl, hh * hd:(hh + 1) * hd] * (hd ** -0.5)
+                k = qkv[sl, c_dim + hh * hd: c_dim + (hh + 1) * hd]
+                v = qkv[sl, 2 * c_dim + hh * hd: 2 * c_dim + (hh + 1) * hd]
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)
+                heads.append(jax.lax.dot_general(
+                    p, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            outs.append(jnp.concatenate(heads, axis=-1))
+        attn_out = jnp.concatenate(outs, axis=0)
+        proj = _dot(attn_out, _dq(wo, wo_s)) + bo[None]
+        gate1 = mods[:, 2 * c_dim:3 * c_dim]
+        h = h + proj * gate1
+        mlp_base = 3
+    else:
+        mlp_base = 0
+
+    hm = moded(h, mlp_base, n2)
+    h12 = _dot(hm, _dq(w1, w1_s)) + b1[None]
+    hidden = h12.shape[-1] // 2
+    glu = jax.nn.silu(h12[:, :hidden]) * h12[:, hidden:]
+    mlp_out = _dot(glu, _dq(w2, w2_s)) + b2[None]
+    gate2 = mods[:, (mlp_base + 2) * c_dim:(mlp_base + 3) * c_dim]
+    return h + mlp_out * gate2
+
+
+def _fused_net_kernel(
+    # inputs (order mirrors the call below)
+    x_ref, t_ref, c_emb_ref,
+    in_w_ref, in_b_ref, t_w0_ref, t_b0_ref, t_w2_ref, t_b2_ref,
+    ada_w_ref, ada_b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, n2_ref,
+    f_ada_w_ref, f_ada_b_ref, f_out_w_ref, f_out_b_ref,
+    *maybe_attn_refs,
+    num_blocks: int, switch_freq: int, n_head: int, groups: int,
+    bounded: bool, attention: bool, t_freq_size: int, eps: float = 1e-6,
+):
+    if attention:
+        (n1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
+         h_vm, y_vm, mods_vm) = maybe_attn_refs
+    else:
+        o_ref, h_vm, y_vm, mods_vm = maybe_attn_refs
+
+    l = pl.program_id(0)
+
+    # ---- prologue: t-embed MLP, y, input projection (block 0 only) --------
+    @pl.when(l == 0)
+    def _prologue():
+        rows = x_ref.shape[0] * x_ref.shape[1]
+        t = t_ref[...].astype(jnp.float32)       # [rows, half], pre-broadcast
+        half = t_freq_size // 2
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, half), 1).astype(jnp.float32)
+        freqs = jnp.exp(-math.log(10000.0) * idx / half)
+        args = (t * 1000.0) * freqs
+        t_freq = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        te = _dot(t_freq, t_w0_ref) + t_b0_ref[0][None]
+        te = _dot(jax.nn.silu(te), t_w2_ref) + t_b2_ref[0][None]
+        c = c_emb_ref[...].astype(jnp.float32).reshape(rows, -1)
+        y_vm[...] = jax.nn.silu(te + c)
+        xin = x_ref[...].astype(jnp.float32).reshape(rows, -1)
+        h_vm[...] = _dot(xin, in_w_ref) + in_b_ref[0][None]
+
+    # ---- adaLN switch: recompute mods at group boundaries ------------------
+    @pl.when(l % switch_freq == 0)
+    def _mods():
+        mods_vm[...] = _dot(y_vm[...], ada_w_ref[0]) + ada_b_ref[0, 0][None]
+
+    c_dim = h_vm.shape[-1]
+    h = _block_body(
+        h_vm[...], mods_vm[...],
+        (n1_ref[0], wqkv_ref[0], bqkv_ref[0, 0], wo_ref[0], bo_ref[0, 0],
+         None, None)
+        if attention else None,
+        n2_ref[0], w1_ref[0], b1_ref[0, 0], w2_ref[0], b2_ref[0, 0],
+        n_head=n_head, groups=groups, eps=eps)
+    h_vm[...] = h
+
+    # ---- epilogue: final layer (last block only) ---------------------------
+    @pl.when(l == num_blocks - 1)
+    def _epilogue():
+        y = y_vm[...]
+        mod = _dot(y, f_ada_w_ref) + f_ada_b_ref[0][None]
+        scale = mod[:, :c_dim]
+        shift = mod[:, c_dim:]
+        z = _ln(h, eps) * (1.0 + scale) + shift
+        out = _dot(z, f_out_w_ref) + f_out_b_ref[0][None]
+        if bounded:
+            out = 2.0 * jax.nn.sigmoid(out) - 1.0
+        o_ref[...] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+def fused_diffnet_forward(
+    stacked: dict,
+    x: jax.Array,          # [G, W, ch_in] (attention groups) or [R, ch_in]
+    t: jax.Array,          # [G, W] or [R] matching x's leading dims
+    c_emb: jax.Array,      # same leading dims as x, trailing C
+    *,
+    num_blocks: int,
+    num_ada: int,
+    n_head: int = 0,
+    attention: bool = True,
+    bounded: bool = True,
+    t_freq_size: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-kernel DiffNet forward. Returns x-prediction, same shape as x."""
+    squeeze = x.ndim == 2
+    if squeeze:                      # MLP head: rows are independent
+        x, c_emb = x[None], c_emb[None]
+    g, w, ch = x.shape
+    c_dim = c_emb.shape[-1]
+    rows = g * w
+    # pre-broadcast t across the frequency lanes (kernel-friendly layout:
+    # a [G, W] -> [R, 1] reshape would move the lane dim inside the kernel)
+    t2d = jnp.broadcast_to(
+        t.reshape(rows).astype(jnp.float32)[:, None], (rows, t_freq_size // 2))
+    switch_freq = max(1, num_blocks // num_ada)
+
+    const = lambda arr: pl.BlockSpec(arr.shape, lambda l: (0,) * arr.ndim)
+    per_block = lambda arr: pl.BlockSpec((1,) + arr.shape[1:],
+                                         lambda l: (l,) + (0,) * (arr.ndim - 1))
+    per_ada = lambda arr: pl.BlockSpec(
+        (1,) + arr.shape[1:],
+        lambda l: (l // switch_freq,) + (0,) * (arr.ndim - 1))
+
+    args = [x, t2d, c_emb,
+            stacked["in_w"], stacked["in_b"][None],
+            stacked["t_w0"], stacked["t_b0"][None],
+            stacked["t_w2"], stacked["t_b2"][None],
+            stacked["ada_w"], stacked["ada_b"],
+            stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
+            stacked["n2"],
+            stacked["f_ada_w"], stacked["f_ada_b"][None],
+            stacked["f_out_w"], stacked["f_out_b"][None]]
+    specs = [const(x), const(t2d), const(c_emb),
+             const(args[3]), const(args[4]), const(args[5]), const(args[6]),
+             const(args[7]), const(args[8]),
+             per_ada(stacked["ada_w"]), per_ada(stacked["ada_b"]),
+             per_block(stacked["w1"]), per_block(stacked["b1"]),
+             per_block(stacked["w2"]), per_block(stacked["b2"]),
+             per_block(stacked["n2"]),
+             const(args[16]), const(args[17]), const(args[18]),
+             const(args[19])]
+    if attention:
+        args += [stacked["n1"], stacked["wqkv"], stacked["bqkv"],
+                 stacked["wo"], stacked["bo"]]
+        specs += [per_block(stacked["n1"]), per_block(stacked["wqkv"]),
+                  per_block(stacked["bqkv"]), per_block(stacked["wo"]),
+                  per_block(stacked["bo"])]
+
+    kernel = functools.partial(
+        _fused_net_kernel, num_blocks=num_blocks, switch_freq=switch_freq,
+        n_head=n_head, groups=g, bounded=bounded, attention=attention,
+        t_freq_size=t_freq_size)
+
+    n_mods = 6 if attention else 3
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(x.shape, lambda l: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, c_dim), jnp.float32),          # h
+            pltpu.VMEM((rows, c_dim), jnp.float32),          # y
+            pltpu.VMEM((rows, n_mods * c_dim), jnp.float32),  # mods
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # the body's live intermediates (qkv, h12, mods reads) exceed the
+            # 16MB default scoped-vmem budget at C>=1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[0] if squeeze else out
+
+
+def fused_net_available(c_dim: int, rows: int, attention: bool,
+                        weight_itemsize: int = 2) -> bool:
+    """VMEM feasibility: double-buffered per-block + per-ada weights, const
+    inputs, and fp32 scratch must fit in ~100MB of VMEM."""
+    h = int(c_dim * 1.5)
+    per_block = c_dim * 2 * h + h * c_dim                    # w1 + w2
+    if attention:
+        per_block += c_dim * 3 * c_dim + c_dim * c_dim       # wqkv + wo
+    n_mods = 6 if attention else 3
+    per_ada = c_dim * n_mods * c_dim
+    const = (256 + c_dim) * c_dim + c_dim * 3 * c_dim        # t-mlp + final
+    scratch = rows * c_dim * (2 + n_mods) * 4
+    total = (2 * (per_block + per_ada)) * weight_itemsize \
+        + const * weight_itemsize + scratch
+    return total < 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Whole-sampler kernel: ALL Euler–Maruyama steps in one pallas_call
+# ---------------------------------------------------------------------------
+
+def _fused_em_kernel(
+    # inputs
+    x0_ref, noise_ref, allmods_ref,
+    t_sm, dt_sm, cfg_sm,
+    in_w_ref, in_b_ref, f_out_w_ref, f_out_b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, n2_ref,
+    *rest,
+    num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
+    groups: int, bounded: bool, attention: bool, last_step_size: float,
+    quant: bool, eps: float = 1e-6,
+):
+    rest = list(rest)
+    w1_s = w2_s = wqkv_s = wo_s = None
+    if quant:
+        w1_s, w2_s = rest.pop(0), rest.pop(0)
+    if attention:
+        n1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref = rest[:5]
+        rest = rest[5:]
+        if quant:
+            wqkv_s, wo_s = rest.pop(0), rest.pop(0)
+    o_ref, x_vm, h_vm = rest
+
+    s = pl.program_id(0)
+    l = pl.program_id(1)
+    half = x0_ref.shape[0]
+    c_dim = h_vm.shape[-1]
+    n_mods = 6 if attention else 3
+
+    @pl.when((s == 0) & (l == 0))
+    def _init():
+        x_vm[...] = x0_ref[...].astype(jnp.float32)
+
+    # ---- prologue per sampler step: input projection of [x; x] -------------
+    @pl.when(l == 0)
+    def _proj_in():
+        x = x_vm[...]
+        combined = jnp.concatenate([x, x], axis=0)           # CFG rows
+        h_vm[...] = _dot(combined, in_w_ref) + in_b_ref[0][None]
+
+    # allmods row layout: [ada_0 mods | ada_1 mods | ... | final mods]
+    g = l // switch_freq
+    mods = allmods_ref[0, :, pl.dslice(g * n_mods * c_dim, n_mods * c_dim)]
+    h = _block_body(
+        h_vm[...], mods.astype(jnp.float32),
+        (n1_ref[0], wqkv_ref[0], bqkv_ref[0, 0], wo_ref[0], bo_ref[0, 0],
+         wqkv_s[0] if quant else None, wo_s[0] if quant else None)
+        if attention else None,
+        n2_ref[0], w1_ref[0], b1_ref[0, 0], w2_ref[0], b2_ref[0, 0],
+        n_head=n_head, groups=groups, eps=eps,
+        w1_s=w1_s[0] if quant else None, w2_s=w2_s[0] if quant else None)
+    h_vm[...] = h
+
+    # ---- epilogue per sampler step: final layer + EM update ----------------
+    @pl.when(l == num_blocks - 1)
+    def _em_step():
+        fmod = allmods_ref[0, :, -(2 * c_dim):].astype(jnp.float32)
+        scale = fmod[:, :c_dim]
+        shift = fmod[:, c_dim:]
+        z = _ln(h, eps) * (1.0 + scale) + shift
+        out = _dot(z, f_out_w_ref) + f_out_b_ref[0][None]    # [R, ch]
+        if bounded:
+            out = 2.0 * jax.nn.sigmoid(out) - 1.0
+
+        t = t_sm[s]
+        dt = dt_sm[s]
+        cfg = cfg_sm[0]
+        x = x_vm[...]
+        combined = jnp.concatenate([x, x], axis=0)
+        v = (out - combined) / jnp.maximum(1.0 - t, 0.05)
+        v_cond = v[:half]
+        v_unc = v[half:]
+        vc = v_unc + cfg * (v_cond - v_unc)
+
+        @pl.when(s < num_steps)
+        def _stochastic():
+            # score-augmented SDE step (sampling_x.py:33-42)
+            var = jnp.square(1.0 - t) + t * (1.0 - t)
+            score = (t * vc - x) / var
+            drift = vc + (1.0 - t) * score
+            ns = jnp.sqrt(2.0 * (1.0 - t) * dt)
+            x_vm[...] = x + drift * dt \
+                + ns * noise_ref[0].astype(jnp.float32)
+
+        @pl.when(s == num_steps)
+        def _final_euler():
+            # deterministic last step at t = 1 - last_step_size
+            xf = x + vc * last_step_size
+            x_vm[...] = xf
+            o_ref[...] = xf.astype(o_ref.dtype)
+
+
+def fused_em_sample(
+    stacked: dict,
+    x0: jax.Array,         # [half, ch] initial noise (cond rows only)
+    noise: jax.Array,      # [num_steps, half, ch] per-step noise
+    allmods: jax.Array,    # [S, R, A*n_mods*C + 2C] precomputed mods
+    t_all: jax.Array,      # [S] f32 (S = num_steps + 1)
+    dt_all: jax.Array,     # [S] f32 (last entry unused)
+    cfg: jax.Array,        # [] f32 guidance scale
+    *,
+    num_blocks: int,
+    num_ada: int,
+    n_head: int = 0,
+    groups: int = 1,
+    attention: bool = True,
+    bounded: bool = True,
+    last_step_size: float = 0.05,
+    interpret: bool = False,
+) -> jax.Array:
+    """Entire EM sampling loop (sampling_x.py:44-97) as ONE kernel.
+
+    grid = (num_steps+1, num_blocks): the current latent and activations
+    stay VMEM-resident across every net call; block weights stream from HBM
+    once per (step, block); per-step adaLN/final mods arrive precomputed
+    (one concatenated matmul per AR step outside, instead of streaming the
+    big ada projections 50x). CFG rows are ordered [cond; uncond].
+    """
+    num_steps = noise.shape[0]
+    switch_freq = max(1, num_blocks // num_ada)
+    quant = "w1_s" in stacked
+
+    const = lambda arr: pl.BlockSpec(arr.shape, lambda s, l: (0,) * arr.ndim)
+    per_block = lambda arr: pl.BlockSpec(
+        (1,) + arr.shape[1:], lambda s, l: (l,) + (0,) * (arr.ndim - 1))
+    smem = lambda arr: pl.BlockSpec(
+        arr.shape, lambda s, l: (0,) * arr.ndim, memory_space=pltpu.SMEM)
+
+    args = [
+        x0, noise, allmods,
+        t_all, dt_all, cfg.reshape(1),
+        stacked["in_w"], stacked["in_b"][None],
+        stacked["f_out_w"], stacked["f_out_b"][None],
+        stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
+        stacked["n2"],
+    ]
+    specs = [
+        const(x0),
+        pl.BlockSpec((1,) + noise.shape[1:],
+                     lambda s, l: (jnp.minimum(s, num_steps - 1), 0, 0)),
+        pl.BlockSpec((1,) + allmods.shape[1:], lambda s, l: (s, 0, 0)),
+        smem(t_all), smem(dt_all), smem(cfg.reshape(1)),
+        const(args[6]), const(args[7]), const(args[8]), const(args[9]),
+        per_block(stacked["w1"]), per_block(stacked["b1"]),
+        per_block(stacked["w2"]), per_block(stacked["b2"]),
+        per_block(stacked["n2"]),
+    ]
+    if quant:
+        args += [stacked["w1_s"], stacked["w2_s"]]
+        specs += [per_block(stacked["w1_s"]), per_block(stacked["w2_s"])]
+    if attention:
+        args += [stacked["n1"], stacked["wqkv"], stacked["bqkv"],
+                 stacked["wo"], stacked["bo"]]
+        specs += [per_block(stacked["n1"]), per_block(stacked["wqkv"]),
+                  per_block(stacked["bqkv"]), per_block(stacked["wo"]),
+                  per_block(stacked["bo"])]
+        if quant:
+            args += [stacked["wqkv_s"], stacked["wo_s"]]
+            specs += [per_block(stacked["wqkv_s"]),
+                      per_block(stacked["wo_s"])]
+
+    half, ch = x0.shape
+    rows = 2 * half
+    c_dim = stacked["w1"].shape[1]
+    kernel = functools.partial(
+        _fused_em_kernel, num_blocks=num_blocks, num_steps=num_steps,
+        switch_freq=switch_freq, n_head=n_head, groups=groups,
+        bounded=bounded, attention=attention,
+        last_step_size=last_step_size, quant=quant)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(num_steps + 1, num_blocks),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(x0.shape, lambda s, l: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((half, ch), jnp.float32),             # x
+            pltpu.VMEM((rows, c_dim), jnp.float32),          # h
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def em_precompute(stacked: dict, c_emb: jax.Array, t_all: jax.Array,
+                  t_freq_size: int = 256, out_dtype=jnp.bfloat16):
+    """Per-AR-step precompute for fused_em_sample: adaLN + final-layer mods
+    for EVERY sampler timestep in ONE concatenated matmul (reads the big ada
+    projections once per AR step instead of once per net call, and keeps the
+    MXU in bf16 with a single [S*R, C] x [C, A*n_mods*C + 2C] shape).
+
+    c_emb: [R, C] fp32 (cond_embed already applied; rows = [cond; uncond]).
+    Returns allmods [S, R, A*n_mods*C + 2C].
+    """
+    from bitdance_tpu.models.diff_head import timestep_embedding
+
+    tf = timestep_embedding(t_all, t_freq_size)              # [S, 256]
+    te = _dot(tf, stacked["t_w0"]) + stacked["t_b0"][None]
+    te = _dot(jax.nn.silu(te), stacked["t_w2"]) + stacked["t_b2"][None]
+    y = jax.nn.silu(te[:, None, :] + c_emb[None])            # [S, R, C]
+    s_dim, r_dim, c_dim = y.shape
+    allmods = _dot(y.reshape(s_dim * r_dim, c_dim), stacked["modcat_w"]) \
+        + stacked["modcat_b"][None]
+    return allmods.astype(out_dtype).reshape(s_dim, r_dim, -1)

@@ -120,6 +120,12 @@ def generate_tokens(
 
     pos_diff = pos_embed_for_diff.astype(hidden.dtype)  # [h*w, D]
 
+    # pre-stack head weights for the fused TPU sampler OUTSIDE the AR scan
+    # (XLA does not hoist the stacking out of lax.scan reliably)
+    from bitdance_tpu.models.diff_head import make_fused_sampler
+
+    head_sampler = make_fused_sampler(bundle.head, bundle.head_params)
+
     def decode_step(carry, step):
         cache, hidden, key = carry
         key, k_samp = jax.random.split(key)
@@ -128,10 +134,9 @@ def generate_tokens(
         )  # [p, D]
         h_fused = hidden + pe[None]
 
-        pred = bundle.head.apply(
-            bundle.head_params, h_fused, k_samp,
-            jnp.float32(guidance_scale), num_sampling_steps, cfg_mult=2,
-            method=DiffHead.sample,
+        pred = head_sampler(
+            h_fused, k_samp, jnp.float32(guidance_scale),
+            num_sampling_steps, cfg_mult=2,
         )  # [n, p, z]
         tokens = sign_quantize(pred)
 

@@ -1,0 +1,219 @@
+"""Whole-net fused head kernel vs the flax DiffNet reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitdance_tpu.models.diff_head import DiffNet
+from bitdance_tpu.ops.fused_head import (
+    fused_diffnet_forward,
+    fused_net_available,
+    stack_diffnet_params,
+)
+
+
+def _net_and_params(attention, c=256, ch=8, cond=64, blocks=4, ada=2,
+                    bounded=None, seed=0):
+    net = DiffNet(in_channels=ch, model_channels=c, z_channels=cond,
+                  num_res_blocks=blocks, num_ada_ln_blocks=ada,
+                  attention=attention, use_swiglu=True,
+                  bounded_output=bounded, attn_head_dim=128)
+    if attention:
+        x = jnp.zeros((2, 8, ch))
+        t = jnp.zeros((2,))
+        cc = jnp.zeros((2, 8, cond))
+    else:
+        x = jnp.zeros((16, ch))
+        t = jnp.zeros((16,))
+        cc = jnp.zeros((16, cond))
+    params = net.init(jax.random.PRNGKey(seed), x, t, cc)["params"]
+    # zero-init adaLN/final make parity vacuous; randomize everything
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [0.05 * jax.random.normal(k, l.shape) for l, k in
+                  zip(leaves, keys)])
+    return net, params
+
+
+@pytest.mark.parametrize("attention", [True, False])
+def test_fused_net_matches_flax(attention):
+    net, params = _net_and_params(attention)
+    rng = np.random.default_rng(3)
+    if attention:
+        x = jnp.asarray(rng.normal(size=(2, 8, 8)), jnp.float32)
+        t_rows = jnp.asarray(rng.uniform(0.1, 0.9, size=(2,)), jnp.float32)
+        t = jnp.broadcast_to(t_rows[:, None], (2, 8))
+        cc = jnp.asarray(rng.normal(size=(2, 8, 64)), jnp.float32)
+        want = net.apply({"params": params}, x, t_rows, cc)
+    else:
+        x = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+        t = jnp.asarray(rng.uniform(0.1, 0.9, size=(16,)), jnp.float32)
+        cc = jnp.asarray(rng.normal(size=(16, 64)), jnp.float32)
+        want = net.apply({"params": params}, x, t, cc)
+
+    stacked = stack_diffnet_params(params, 4, attention, dtype=jnp.float32)
+    # c_emb precomputed outside the kernel (constant across sampler steps)
+    c_emb = cc @ params["cond_embed"]["kernel"] + params["cond_embed"]["bias"]
+    got = fused_diffnet_forward(
+        stacked, x, t, c_emb, num_blocks=4, num_ada=2,
+        n_head=256 // 128, attention=attention,
+        bounded=attention, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_net_adaln_switching():
+    """4 blocks / 2 ada groups: blocks 2-3 must use ada_ln_1, not ada_ln_0."""
+    net, params = _net_and_params(True)
+    # make the two ada projections very different
+    params["ada_ln_1"] = jax.tree.map(lambda a: a * -3.0, params["ada_ln_1"])
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8)), jnp.float32)
+    t_rows = jnp.asarray([0.3, 0.7], jnp.float32)
+    cc = jnp.asarray(rng.normal(size=(2, 8, 64)), jnp.float32)
+    want = net.apply({"params": params}, x, t_rows, cc)
+
+    stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32)
+    c_emb = cc @ params["cond_embed"]["kernel"] + params["cond_embed"]["bias"]
+    got = fused_diffnet_forward(
+        stacked, x, jnp.broadcast_to(t_rows[:, None], (2, 8)), c_emb,
+        num_blocks=4, num_ada=2, n_head=2, attention=True, bounded=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_net_available_gate():
+    assert fused_net_available(1024, 128, attention=True)
+    assert not fused_net_available(5120, 128, attention=True)
+
+
+def _em_inputs(net, params, attention=True, steps=5, seed=9, cfg=2.0,
+               flow_shift=1.0):
+    from bitdance_tpu.models.sampling import time_shift
+
+    rng = np.random.default_rng(seed)
+    if attention:
+        cond = jnp.asarray(rng.normal(size=(4, 8, 64)), jnp.float32)
+        x0 = jnp.asarray(rng.normal(size=(2, 8, 8)), jnp.float32)
+        groups = 4
+    else:
+        cond = jnp.asarray(rng.normal(size=(16, 64)), jnp.float32)
+        x0 = jnp.asarray(rng.normal(size=(8, 8)), jnp.float32)
+        groups = 1
+    t_all = jnp.linspace(0.0, 0.95, steps + 1)
+    t_all = time_shift(t_all, flow_shift)
+    dt_all = jnp.concatenate([t_all[1:] - t_all[:-1], jnp.zeros((1,))])
+    c_flat = cond.reshape(-1, cond.shape[-1])
+    c_emb = (c_flat @ params["cond_embed"]["kernel"]
+             + params["cond_embed"]["bias"])
+    return cond, x0, t_all, dt_all, c_emb, groups
+
+
+@pytest.mark.parametrize("attention", [True, False])
+def test_fused_em_deterministic_matches_sampler(attention):
+    """Zero noise: fused whole-sampler kernel == euler_maruyama with
+    stochastic=False and the same x0."""
+    from bitdance_tpu.models.sampling import euler_maruyama
+    from bitdance_tpu.ops.fused_head import em_precompute, fused_em_sample
+
+    net, params = _net_and_params(attention)
+    steps = 5
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(
+        net, params, attention, steps)
+
+    def net_fn(xx, tt, cc):
+        return net.apply({"params": params}, xx, tt, cc)
+
+    want = euler_maruyama(
+        net_fn, cond, jax.random.PRNGKey(0), 8, cfg=2.0,
+        num_sampling_steps=steps, x_init=x0, stochastic=False)
+
+    stacked = stack_diffnet_params(params, 4, attention, dtype=jnp.float32)
+    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+    x0f = x0.reshape(-1, x0.shape[-1])
+    noise = jnp.zeros((steps,) + x0f.shape, jnp.float32)
+    got = fused_em_sample(
+        stacked, x0f, noise, allmods, t_all, dt_all,
+        jnp.float32(2.0), num_blocks=4, num_ada=2, n_head=2, groups=groups,
+        attention=attention, bounded=attention, interpret=True)
+    np.testing.assert_allclose(np.asarray(got).reshape(want.shape),
+                               np.asarray(want), rtol=5e-4, atol=5e-4)
+
+
+def test_fused_em_stochastic_matches_manual_loop():
+    """Nonzero noise: fused kernel == a hand-rolled numpy EM loop driving
+    the flax net with the SAME noise sequence."""
+    from bitdance_tpu.ops.fused_head import em_precompute, fused_em_sample
+
+    net, params = _net_and_params(True)
+    steps = 4
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(
+        net, params, True, steps)
+    rng = np.random.default_rng(17)
+    noise = rng.normal(size=(steps,) + x0.shape).astype(np.float32)
+    cfg = 2.0
+
+    # manual reference loop (sampling_x.py:44-97 semantics)
+    x = np.asarray(x0)
+    for i in range(steps):
+        t = float(t_all[i])
+        dt = float(dt_all[i])
+        combined = np.concatenate([x, x], axis=0)
+        out = np.asarray(net.apply(
+            {"params": params}, jnp.asarray(combined),
+            jnp.full((cond.shape[0],), t, jnp.float32), cond))
+        v = (out - combined) / max(1.0 - t, 0.05)
+        vc = v[2:] + cfg * (v[:2] - v[2:])
+        var = (1.0 - t) ** 2 + t * (1.0 - t)
+        score = (t * vc - x) / var
+        drift = vc + (1.0 - t) * score
+        x = x + drift * dt + np.sqrt(2.0 * (1.0 - t) * dt) * noise[i]
+    t = float(t_all[steps])
+    combined = np.concatenate([x, x], axis=0)
+    out = np.asarray(net.apply(
+        {"params": params}, jnp.asarray(combined),
+        jnp.full((cond.shape[0],), t, jnp.float32), cond))
+    v = (out - combined) / max(1.0 - t, 0.05)
+    vc = v[2:] + cfg * (v[:2] - v[2:])
+    want = x + vc * 0.05
+
+    stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32)
+    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+    x0f = x0.reshape(-1, 8)
+    noise_f = jnp.asarray(noise.reshape(steps, -1, 8))
+    got = fused_em_sample(
+        stacked, x0f, noise_f, allmods, t_all, dt_all,
+        jnp.float32(cfg), num_blocks=4, num_ada=2, n_head=2, groups=groups,
+        attention=True, bounded=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got).reshape(want.shape), want,
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_fused_em_int8_close_to_fp():
+    """int8 weight-only quantization stays within a few percent of the fp
+    sampler output (pre-sign latents are O(1))."""
+    from bitdance_tpu.ops.fused_head import em_precompute, fused_em_sample
+
+    net, params = _net_and_params(True)
+    steps = 4
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(
+        net, params, True, steps)
+    x0f = x0.reshape(-1, 8)
+    noise = jnp.zeros((steps,) + x0f.shape, jnp.float32)
+
+    outs = {}
+    for quant in (False, True):
+        stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32,
+                                       quant=quant)
+        allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+        outs[quant] = np.asarray(fused_em_sample(
+            stacked, x0f, noise, allmods, t_all, dt_all, jnp.float32(2.0),
+            num_blocks=4, num_ada=2, n_head=2, groups=groups,
+            attention=True, bounded=True, interpret=True))
+    err = np.max(np.abs(outs[True] - outs[False]))
+    assert err < 0.08, f"int8 drift too large: {err}"
+    assert err > 0, "quantization had no effect (suspicious)"
