@@ -35,6 +35,28 @@ def prior_value(metric: str):
     return found
 
 
+def run_t2i_subprocess(extra_args, timeout_s=480):
+    """Run benchmarks/bench_t2i.py in a child process (BEFORE this process
+    claims the TPU — one TPU client at a time) and parse s/image."""
+    import re
+    import subprocess
+
+    # keep the environment intact: the axon PJRT plugin is registered by
+    # sitecustomize.py on PYTHONPATH (/root/.axon_site) — removing or
+    # extending PYTHONPATH both break plugin discovery
+    env = dict(os.environ)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", "benchmarks.bench_t2i", "--iters", "2"]
+            + extra_args,
+            cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    m = re.search(r"([0-9.]+) s/image", r.stdout)
+    return float(m.group(1)) if m else None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -47,7 +69,16 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--decode-chunk", type=int, default=32,
                     help="VAE decode chunk (model.py:378-387 decode_in_chunks)")
+    ap.add_argument("--skip-t2i", action="store_true",
+                    help="skip the T2I flagship measurements")
     args = ap.parse_args()
+
+    # T2I measurements run first, in child processes, so the TPU is free
+    # when this process starts the imagenet benchmark (one client at a time)
+    t2i = t2i_14b = None
+    if not (args.quick or args.skip_t2i):
+        t2i = run_t2i_subprocess([])
+        t2i_14b = run_t2i_subprocess(["--real-14b", "--layers", "14"])
 
     import jax
     import jax.numpy as jnp
@@ -155,6 +186,15 @@ def main():
         # round: a regression shows up as vs_baseline < 1.
         "vs_baseline": round(imgs_per_sec / prev, 4) if prev else 1.0,
     }
+    if not (args.quick or args.skip_t2i):
+        # flagship T2I: 1024px, p=64, 64 AR steps x 50 diffusion steps
+        result["t2i_1024px_s_per_image"] = t2i
+        result["t2i_config"] = "0.7B-class LLM (16L/1024d), bf16"
+        # true 14B WIDTH (5120d LLM + 5120-wide head, 152k vocab); 14 of 40
+        # layers is the single-chip 16GB maximum — full 14B needs tp>=4 or
+        # int8 (benchmarks/bench_t2i.py MEMORY_PLAN)
+        result["t2i_14b_geom_s_per_image"] = t2i_14b
+        result["t2i_14b_geom_config"] = "5120d LLM 14/40 layers + full 14B head"
     print(json.dumps(result))
     print(f"# batch={args.batch} steps={args.sample_steps} "
           f"best={best:.2f}s first(incl compile)={compile_and_first:.1f}s "

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--block-q", type=int, default=256)
     ap.add_argument("--block-k", type=int, default=512)
+    ap.add_argument("--docs", type=int, default=2,
+                    help="packed documents per sequence (33k batch ~ 8)")
     args = ap.parse_args()
 
     import jax
@@ -35,18 +37,24 @@ def main():
     from bitdance_tpu.ops.attention import (
         attention_xla,
         flash_attention,
+        flash_attention_sparse,
         mask_from_ids,
         packed_ids_from_segments,
     )
 
     L = args.seqlen
-    # two packed samples, each: short text (causal) + image span (parallel)
+    # pack --docs samples, each: short text (causal) + image span (parallel)
+    # (the 14B training batch packs many ~4k-token docs into 33k tokens)
+    n_docs = args.docs
     text = 256
-    img = (L // 2 - text) // args.parallel_num * args.parallel_num
-    pad = L - 2 * (text + img)
-    sample_lens = [text + img, text + img + pad]
-    split_lens = [text, img, text, img + pad]
-    modes = ["causal", "parallel", "causal", "parallel"]
+    per = L // n_docs
+    img = (per - text) // args.parallel_num * args.parallel_num
+    pad = L - n_docs * (text + img)
+    sample_lens = [text + img] * (n_docs - 1) + [text + img + pad]
+    split_lens, modes = [], []
+    for i in range(n_docs):
+        split_lens += [text, img + (pad if i == n_docs - 1 else 0)]
+        modes += ["causal", "parallel"]
     block, doc = packed_ids_from_segments(sample_lens, split_lens, modes,
                                           args.parallel_num)
     block, doc = block[None], doc[None]
@@ -85,6 +93,19 @@ def main():
 
     flops = 4 * L * L * args.head_dim * args.heads
     print(f"flash:  {t_flash*1e3:8.2f} ms   {flops/t_flash/1e12:6.2f} TFLOP/s (raw)")
+
+    # sparse iteration: live kv tiles bounded by the longest packed doc
+    max_doc = max(sample_lens)
+    max_live = (max_doc + args.block_k - 1) // args.block_k + 1
+    sparse = chain(lambda q, k, v, qb, qd, kb, kd: flash_attention_sparse(
+        q, k, v, qb, qd, kb, kd, max_live_kv=max_live,
+        block_q=args.block_q, block_k=args.block_k))
+    t_sp, o_sp = timeit(sparse, q, k, v, block, doc, block, doc)
+    err_sp = float(jnp.max(jnp.abs(o_flash.astype(jnp.float32)
+                                   - o_sp.astype(jnp.float32))))
+    print(f"sparse: {t_sp*1e3:8.2f} ms   {flops/t_sp/1e12:6.2f} TFLOP/s (raw)"
+          f"   max_live={max_live}/{(L + args.block_k - 1)//args.block_k}"
+          f"   vs dense {t_flash/t_sp:.2f}x   max|diff|={err_sp:.4f}")
 
     if L <= 8192:
         mask = jax.vmap(mask_from_ids)(block, doc, block, doc)[:, None]

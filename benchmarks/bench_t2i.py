@@ -5,9 +5,11 @@ Random-init weights (throughput is architecture-bound); the full generation
 batched CFG — runs as one compiled program, with the flash-decode Pallas
 kernel active for caches >= 1024 entries.
 
-Round-1 measurements on one v5e (0.7B-class LLM, bf16):
-  512px  (1024 tokens, p=16, 64 AR steps x 50 diff steps): 0.75 s/image
-  1024px (4096 tokens, p=64, 64 AR steps x 50 diff steps): 3.10 s/image
+Measurements on one v5e (bf16, fused whole-sampler head kernel, round 2):
+  1024px 0.7B-class LLM (16L/1024d): 1.32 s/image  (round 1: 3.10)
+  1024px 0.7B-class + int8 head (--quant-head): 1.10 s/image
+  1024px REAL-14B width (--real-14b --layers 14, single-chip max): 18.38
+  The full 40L 14B does not fit one 16GB chip — see MEMORY_PLAN below.
 
 Usage: python benchmarks/bench_t2i.py [--height 1024] [--parallel 64]
        [--hidden 1024] [--layers 16] [--steps 50] [--images 1]
@@ -48,6 +50,14 @@ def main():
     ap.add_argument("--cfg", type=float, default=7.5)
     ap.add_argument("--images", type=int, default=1)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--real-14b", action="store_true",
+                    help="true BitDance-14B geometry (Qwen3-14B dims, 152k "
+                         "vocab, 5120-wide head); --layers overrides depth. "
+                         "The full 40L model is ~29.5GB bf16 + 3.1GB head "
+                         "and does NOT fit one 16GB v5e — see MEMORY_PLAN "
+                         "in this file.")
+    ap.add_argument("--quant-head", action="store_true",
+                    help="int8 weight-only quantized fused head sampler")
     args = ap.parse_args()
     width = args.width or args.height
 
@@ -60,28 +70,51 @@ def main():
     from bitdance_tpu.models.tokenizer import VQModel
     from bitdance_tpu.pipelines.t2i import T2IModelBundle, T2IPipeline
 
-    hidden, z, p = args.hidden, 32, args.parallel
-    llm_cfg = q3.Qwen3Config(
-        vocab_size=4096, hidden_size=hidden, intermediate_size=hidden * 4,
-        num_hidden_layers=args.layers, num_attention_heads=hidden // 64,
-        num_key_value_heads=max(hidden // 128, 1), head_dim=64)
-    llm_params = q3.init_qwen3_params(jax.random.PRNGKey(0), llm_cfg,
-                                      jnp.bfloat16)
+    if args.real_14b:
+        # train/configs/bitdance_14b_64x.yaml:18-35 geometry
+        base = q3.Qwen3Config.qwen3_14b()
+        hidden, z, p = base.hidden_size, 32, args.parallel
+        llm_cfg = q3.Qwen3Config(
+            vocab_size=base.vocab_size, hidden_size=base.hidden_size,
+            intermediate_size=base.intermediate_size,
+            num_hidden_layers=args.layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=base.num_key_value_heads,
+            head_dim=base.head_dim)
+    else:
+        hidden, z, p = args.hidden, 32, args.parallel
+        llm_cfg = q3.Qwen3Config(
+            vocab_size=4096, hidden_size=hidden,
+            intermediate_size=hidden * 4,
+            num_hidden_layers=args.layers,
+            num_attention_heads=hidden // 64,
+            num_key_value_heads=max(hidden // 128, 1), head_dim=64)
+    # Init order matters at 14B size: flax inits store fp32 params (6.3GB
+    # for the 5120-wide head), so init + cast the head/VAE/proj to bf16
+    # BEFORE the multi-GB LLM weights exist, keeping the transient fp32
+    # copies out of the peak.
+    to_bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
     dd = dict(z_channels=z, in_channels=3, out_ch=3, ch=128,
               ch_mult=[1, 1, 2, 2, 4], num_res_blocks=2)
     ae = VQModel(ddconfig=dd, dtype=jnp.bfloat16)
     lat = args.height // 16
-    ae_params = jax.jit(lambda k, x: ae.init(
+    ae_params = to_bf16(jax.jit(lambda k, x: ae.init(
         k, x, method=VQModel.decode, noise_rng=jax.random.PRNGKey(9)))(
-        jax.random.PRNGKey(1), jnp.zeros((1, lat, width // 16, z), jnp.bfloat16))
+        jax.random.PRNGKey(1), jnp.zeros((1, lat, width // 16, z), jnp.bfloat16)))
     head = DiffHead(ch_target=z, ch_cond=hidden, ch_latent=hidden,
                     depth_latent=6, depth_adanln=2, parallel_num=p,
                     use_swiglu=True, P_mean=-0.8, P_std=0.8,
-                    dtype=jnp.bfloat16)
-    hp = jax.jit(head.init)(jax.random.PRNGKey(2), jnp.zeros((2, p, z)),
-                            jnp.zeros((2, p, hidden)), jax.random.PRNGKey(3))
+                    dtype=jnp.bfloat16, sample_weight_quant=args.quant_head)
+    hp = to_bf16(jax.jit(head.init)(
+        jax.random.PRNGKey(2), jnp.zeros((2, p, z)),
+        jnp.zeros((2, p, hidden)), jax.random.PRNGKey(3)))
     proj = MLPConnector(out_dim=hidden, dtype=jnp.bfloat16)
-    pp = proj.init(jax.random.PRNGKey(4), jnp.zeros((1, z)))
+    pp = to_bf16(proj.init(jax.random.PRNGKey(4), jnp.zeros((1, z))))
+
+    llm_params = q3.init_qwen3_params(jax.random.PRNGKey(0), llm_cfg,
+                                      jnp.bfloat16)
+    # generation never touches the lm_head (1.56GB at the 152k vocab)
+    llm_params.pop("lm_head", None)
 
     bundle = T2IModelBundle(
         llm_cfg=llm_cfg, llm_params=llm_params, ae=ae, ae_params=ae_params,
@@ -102,10 +135,29 @@ def main():
         times.append(time.time() - t0)
     best = min(times) / args.images
     num_steps = (args.height // 16) * (width // 16) // p
+    tag = " REAL-14B-GEOM" if args.real_14b else ""
     print(f"{args.height}x{width} p={p} ({num_steps} AR steps x {args.steps} "
-          f"diff steps), llm {args.layers}L/{hidden}d: "
+          f"diff steps), llm {args.layers}L/{hidden}d{tag}: "
           f"{best:.2f} s/image ({1.0/best:.3f} img/s) "
           f"[compile+first {compile_s:.0f}s]")
+
+
+MEMORY_PLAN = """
+14B single-chip memory plan (v5e, 16GB HBM)
+-------------------------------------------
+True BitDance-14B (bitdance_14b_64x.yaml): Qwen3-14B LLM = 14.8B params
+(29.5GB bf16) + 5120-wide 6-block DiffHead = 1.57B params (3.1GB bf16).
+One 16GB chip CANNOT hold the model; deployment options, in order:
+  1. TP over >=4 chips via parallel/tp.py shardings (weights 8.2GB/chip at
+     tp=4); the sharded forward is exercised on the virtual mesh by
+     __graft_entry__.dryrun_multichip and tests/test_tp.py.
+  2. int8 weight-only LLM + head (~16.3GB) over tp=2.
+Largest single-chip measurable slice at TRUE width: --real-14b with
+--layers N; each layer is 330M params (0.66GB bf16), embed 0.78GB, head
+3.1GB, so N<=14 fits with KV cache + VAE headroom. LLM cost scales
+linearly in depth, the head does not depend on depth; a 40L estimate is
+t(N) + (40-N) * per_layer_decode_time.
+"""
 
 
 if __name__ == "__main__":

@@ -44,7 +44,10 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", type=str, required=True)
-    p.add_argument("--data_path", type=str, default="eval/dpg_bench/prompts.json")
+    p.add_argument("--data_path", type=str,
+               default="eval_assets/dpg/prompts.json",
+               help="scripts/fetch_eval_assets.py fetches the real set; "
+                    "eval_assets/dpg_stub_prompts.json is the CI stub")
     p.add_argument("--save_dir", type=str, default="results/dpg")
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--num_sampling_steps", type=int, default=50)

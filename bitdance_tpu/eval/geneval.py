@@ -53,7 +53,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", type=str, required=True)
     p.add_argument("--data_path", type=str,
-                   default="eval/geneval/prompts/evaluation_metadata_long.jsonl")
+                   default="eval_assets/geneval/evaluation_metadata.jsonl",
+                   help="scripts/fetch_eval_assets.py fetches the real set; "
+                        "eval_assets/geneval_stub_metadata.jsonl is the CI stub")
     p.add_argument("--save_dir", type=str, default="results/geneval")
     p.add_argument("--guidance_scale", type=float, default=13.0)
     p.add_argument("--num_sampling_steps", type=int, default=50)

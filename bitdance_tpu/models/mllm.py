@@ -46,6 +46,11 @@ class MLLMConfig:
     diff_batch_mul: int = 1
     vision_perturb: float = 0.1
     pe_max_len: int = 2048
+    # static bound on live kv tiles per 256-token q tile for sparse-iteration
+    # flash attention (None = dense). Size from the packer's max document
+    # length: ceil(max_doc_tokens / 512) + 1. 3.5x attention speedup on the
+    # 33k-token packed batch (benchmarks/bench_attention.py --docs 8).
+    attn_max_live_kv: int | None = None
 
     @staticmethod
     def bitdance_14b(vocab_size: int = 152064, parallel_num: int = 64) -> "MLLMConfig":
@@ -201,6 +206,7 @@ def mllm_forward_train(
         params["llm"], cfg.llm, seq[None], batch.position_ids[None],
         batch.block_ids[None], batch.doc_ids[None],
         remat=(train and cfg.grad_checkpointing),
+        max_live_kv=cfg.attn_max_live_kv,
     )[0]  # [L, D]
     return _losses_from_hidden(params, cfg, batch, hidden, k_head)
 
@@ -233,6 +239,7 @@ def mllm_forward_train_batched(
         params["llm"], cfg.llm, seq, batch.position_ids,
         batch.block_ids, batch.doc_ids,
         remat=(train and cfg.grad_checkpointing),
+        max_live_kv=cfg.attn_max_live_kv,
     )                                                   # [B, L, D]
     outs = jax.vmap(
         lambda b, h, k: _losses_from_hidden(params, cfg, b, h, k),

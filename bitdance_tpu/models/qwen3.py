@@ -140,6 +140,7 @@ def qwen3_forward(
     doc_ids: jax.Array,
     attn_impl: str = "auto",
     remat: bool = False,
+    max_live_kv: int | None = None,
 ) -> jax.Array:
     """Full (uncached) forward over packed/padded embeds.
 
@@ -148,6 +149,8 @@ def qwen3_forward(
     remat=True rematerializes each layer in the backward pass
     (jax.checkpoint over the scan body — the TPU equivalent of the
     reference's grad_checkpointing flags), trading FLOPs for HBM.
+    max_live_kv enables sparse kv-tile iteration for packed training
+    (see ops/attention.py::flash_attention_sparse).
     """
     cos, sin = _rope_at(cfg, positions)
 
@@ -163,7 +166,8 @@ def qwen3_forward(
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
         attn = masked_attention(q, k, v, block_ids, doc_ids, block_ids, doc_ids,
-                                implementation=attn_impl)
+                                implementation=attn_impl,
+                                max_live_kv=max_live_kv)
         x = x + attn.reshape(b, s, hq * hd) @ lp["o_proj"]
         h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h)

@@ -20,6 +20,8 @@ from bitdance_tpu.ops.quantize import (
 from bitdance_tpu.ops.attention import (
     attention_xla,
     flash_attention,
+    flash_attention_sparse,
+    kv_tile_map,
     masked_attention,
     decode_attention_xla,
     mask_from_ids,

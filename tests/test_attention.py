@@ -142,3 +142,53 @@ def test_attention_padding_rows_are_zero():
     out = flash_attention(q, k, v, qb, qd, kb, kd, block_q=128, block_k=128,
                           interpret=True)
     np.testing.assert_array_equal(np.asarray(out[0, 40:]), 0.0)
+
+
+def test_sparse_flash_matches_dense_packed():
+    """Splash-style sparse iteration == dense flash == XLA on a packed
+    multi-document mask, with max_live_kv < n_k."""
+    from bitdance_tpu.ops.attention import flash_attention_sparse
+
+    sample_lens = [120, 136, 128]
+    split_lens = [24, 96, 8, 128, 128]
+    attn_modes = ["causal", "parallel", "causal", "parallel", "causal"]
+    block, doc = packed_ids_from_segments(sample_lens, split_lens, attn_modes, 16)
+    L = sum(sample_lens)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), 1, L, L, 2, 1, 64)
+    qb, qd = block[None], doc[None]
+    mask = jax.vmap(mask_from_ids)(qb, qd, qb, qd)
+    want = attention_xla(q, k, v, mask[:, None])
+    # block 128 -> n_k = 3; docs <= 136 tokens -> at most 2 live kv tiles
+    got = flash_attention_sparse(q, k, v, qb, qd, qb, qd, max_live_kv=2,
+                                 block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_sparse_flash_causal_single_doc():
+    """Single causal doc: every prefix tile is live; sparse with
+    max_live_kv = n_k must equal dense."""
+    from bitdance_tpu.ops.attention import flash_attention_sparse
+
+    b, l, h, d = 2, 384, 2, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), b, l, l, h, h, d)
+    qb = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
+    qd = jnp.zeros((b, l), jnp.int32)
+    want = flash_attention(q, k, v, qb, qd, qb, qd, block_q=128,
+                           block_k=128, interpret=True)
+    got = flash_attention_sparse(q, k, v, qb, qd, qb, qd, max_live_kv=3,
+                                 block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_kv_tile_map_counts():
+    from bitdance_tpu.ops.attention import kv_tile_map
+
+    # two docs of 128 tokens each, causal: tile (q=1) only lives on kv=1
+    qb = jnp.arange(256, dtype=jnp.int32)[None]
+    qd = jnp.concatenate([jnp.zeros(128, jnp.int32),
+                          jnp.ones(128, jnp.int32)])[None]
+    tm, cnt = kv_tile_map(qb, qd, qb, qd, 128, 128, 2)
+    assert cnt.tolist() == [[1, 1]]
+    assert tm[0, 0, 0] == 0 and tm[0, 1, 0] == 1
+    # trailing entries repeat the last live tile (no-op DMA)
+    assert tm[0, 0, 1] == 0 and tm[0, 1, 1] == 1
