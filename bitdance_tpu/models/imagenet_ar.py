@@ -24,7 +24,11 @@ import numpy as np
 
 from bitdance_tpu.models.diff_head import DiffHead
 from bitdance_tpu.models.sampling import euler_maruyama
-from bitdance_tpu.ops.attention import attention_xla, mask_from_ids
+from bitdance_tpu.ops.attention import (
+    attention_xla,
+    mask_from_ids,
+    masked_attention,
+)
 from bitdance_tpu.ops.norms import rms_norm
 from bitdance_tpu.ops.quantize import flip_bits_uniform_prob
 from bitdance_tpu.ops.rotary import (
@@ -245,8 +249,11 @@ def _attn_full(cfg: ImageNetARConfig, params_l, x, freqs, block_ids, doc_ids):
     q = apply_rope_paired(q.reshape(b, s, nh, hd), freqs)
     k = apply_rope_paired(k.reshape(b, s, nh, hd), freqs)
     v = v.reshape(b, s, nh, hd)
-    mask = mask_from_ids(block_ids, doc_ids, block_ids, doc_ids)
-    attn = attention_xla(q, k, v, mask[None, None])
+    # Pallas flash kernel for long sequences (512px training = 1024+prefix
+    # tokens where the dense-mask XLA path starts to hurt), XLA below
+    bids = jnp.broadcast_to(block_ids[None], (b, s))
+    dids = jnp.broadcast_to(doc_ids[None], (b, s))
+    attn = masked_attention(q, k, v, bids, dids, bids, dids)
     x = x + attn.reshape(b, s, -1) @ params_l["wo"]
     h = rms_norm(x, params_l["ffn_norm"])
     h12 = h @ params_l["ffn_w1"]

@@ -117,7 +117,9 @@ class Encoder(nn.Module):
         self.norm_out = GroupNorm32(block_in)
         self.conv_out = nn.Conv(self.z_channels, (1, 1), dtype=self.dtype)
 
-    def __call__(self, x):
+    def trunk(self, x):
+        """Everything before the quantization tail (norm_out/swish/conv_out)
+        — the tail fuses into one Pallas kernel on TPU (ops/fused_encode)."""
         x = self.conv_in(x)
         for i_level, level in enumerate(self.down):
             for blk in level["block"]:
@@ -126,6 +128,10 @@ class Encoder(nn.Module):
                 x = level["downsample"](x)
         for blk in self.mid_block:
             x = blk(x)
+        return x
+
+    def __call__(self, x):
+        x = self.trunk(x)
         x = self.norm_out(x)
         x = swish(x)
         return self.conv_out(x)
@@ -287,6 +293,24 @@ class VQModel(nn.Module):
         return 2 ** (len(self.ddconfig["ch_mult"]) - 1)
 
     def encode(self, x):
+        import jax
+
+        from bitdance_tpu.ops.fused_encode import (
+            fused_encode_tail,
+            fused_encode_tail_available,
+        )
+
+        trunk_ch = self.ddconfig["ch"] * self.ddconfig["ch_mult"][-1]
+        if (jax.default_backend() == "tpu"
+                and not self.is_initializing()
+                and trunk_ch % 32 == 0):
+            h = self.encoder.trunk(x)
+            if fused_encode_tail_available(h.shape[1], h.shape[2], trunk_ch):
+                p = self.variables["params"]["encoder"]
+                return fused_encode_tail(
+                    h, p["norm_out"]["weight"], p["norm_out"]["bias"],
+                    p["conv_out"]["kernel"][0, 0].astype(self.dtype),
+                    p["conv_out"]["bias"])
         h = self.encoder(x)
         return sign_quantize(h)
 

@@ -101,3 +101,39 @@ def test_gfq_entropy_prefers_diverse_codes():
     l_same = gfq_quantize(z_same, 2, training=True).codebook_entropy
     l_div = gfq_quantize(z_div, 2, training=True).codebook_entropy
     assert float(l_div) > float(l_same)
+
+
+def test_fused_encode_tail_matches_flax():
+    """Fused GN+swish+1x1conv+sign kernel == the unfused encoder tail."""
+    from bitdance_tpu.models.tokenizer import VQModel
+    from bitdance_tpu.ops.fused_encode import fused_encode_tail
+    from bitdance_tpu.ops.quantize import sign_quantize
+
+    dd = dict(z_channels=8, in_channels=3, out_ch=3, ch=32, ch_mult=[1, 2],
+              num_res_blocks=1)
+    model = VQModel(ddconfig=dd)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    want_raw = model.apply(params, x, method=VQModel.encode_raw)
+    want = np.asarray(sign_quantize(want_raw))
+
+    trunk = model.apply(params, x,
+                        method=lambda m, xx: m.encoder.trunk(xx))
+    p = params["params"]["encoder"]
+    got = np.asarray(fused_encode_tail(
+        trunk, p["norm_out"]["weight"], p["norm_out"]["bias"],
+        p["conv_out"]["kernel"][0, 0], p["conv_out"]["bias"],
+        interpret=True))
+    # signs agree except where the pre-sign value is borderline zero
+    solid = np.abs(np.asarray(want_raw)) > 1e-4
+    np.testing.assert_array_equal(got[solid], want[solid])
+
+    # and the pre-sign values agree when quantize=False
+    got_raw = np.asarray(fused_encode_tail(
+        trunk, p["norm_out"]["weight"], p["norm_out"]["bias"],
+        p["conv_out"]["kernel"][0, 0], p["conv_out"]["bias"],
+        quantize=False, interpret=True))
+    np.testing.assert_allclose(got_raw, np.asarray(want_raw),
+                               rtol=1e-4, atol=1e-4)
