@@ -5,11 +5,17 @@ Random-init weights (throughput is architecture-bound); the full generation
 batched CFG — runs as one compiled program, with the flash-decode Pallas
 kernel active for caches >= 1024 entries.
 
-Measurements on one v5e (bf16, fused whole-sampler head kernel, round 2):
-  1024px 0.7B-class LLM (16L/1024d): 1.32 s/image  (round 1: 3.10)
-  1024px 0.7B-class + int8 head (--quant-head): 1.10 s/image
-  1024px REAL-14B width (--real-14b --layers 14, single-chip max): 18.38
-  The full 40L 14B does not fit one 16GB chip — see MEMORY_PLAN below.
+Measurements on one v5e (fused whole-sampler head kernel, round 2):
+  1024px 0.7B-class LLM (16L/1024d) bf16: 1.32-1.75 s/image (round 1: 3.10)
+  1024px 0.7B-class + int8 head (--quant-head): 1.10
+  1024px 0.7B-class int8 LLM (--quant-llm): 1.39
+  1024px 0.7B-class int8 LLM + int8 head: 1.16
+  1024px REAL-14B width bf16 (--real-14b --layers 14, bf16 max): 18.38
+  1024px REAL-14B width int8 (--layers 14 --quant-llm --quant-head): 17.46
+  1024px REAL-14B width int8 28L (DOUBLE the bf16 depth budget): 18.10
+  At true 14B width the 5120-wide head dominates (~17 TFLOP/AR step at 128
+  rows x 50 EM steps — compute-bound), which is why LLM depth is nearly
+  free; see MEMORY_PLAN for full-model deployment options.
 
 Usage: python benchmarks/bench_t2i.py [--height 1024] [--parallel 64]
        [--hidden 1024] [--layers 16] [--steps 50] [--images 1]
@@ -58,6 +64,10 @@ def main():
                          "in this file.")
     ap.add_argument("--quant-head", action="store_true",
                     help="int8 weight-only quantized fused head sampler")
+    ap.add_argument("--quant-llm", action="store_true",
+                    help="int8 W8A8 LLM matmuls (ops/int8.py): halves "
+                         "weight HBM traffic and doubles the single-chip "
+                         "depth budget at true 14B width")
     args = ap.parse_args()
     width = args.width or args.height
 
@@ -111,10 +121,14 @@ def main():
     proj = MLPConnector(out_dim=hidden, dtype=jnp.bfloat16)
     pp = to_bf16(proj.init(jax.random.PRNGKey(4), jnp.zeros((1, z))))
 
-    llm_params = q3.init_qwen3_params(jax.random.PRNGKey(0), llm_cfg,
-                                      jnp.bfloat16)
-    # generation never touches the lm_head (1.56GB at the 152k vocab)
-    llm_params.pop("lm_head", None)
+    if args.quant_llm:
+        # generated directly into int8 (no lm_head: generation never
+        # touches it, and at 152k vocab it is 1.56GB)
+        llm_params = q3.init_qwen3_params_int8(jax.random.PRNGKey(0), llm_cfg)
+    else:
+        llm_params = q3.init_qwen3_params(jax.random.PRNGKey(0), llm_cfg,
+                                          jnp.bfloat16)
+        llm_params.pop("lm_head", None)
 
     bundle = T2IModelBundle(
         llm_cfg=llm_cfg, llm_params=llm_params, ae=ae, ae_params=ae_params,
@@ -136,6 +150,7 @@ def main():
     best = min(times) / args.images
     num_steps = (args.height // 16) * (width // 16) // p
     tag = " REAL-14B-GEOM" if args.real_14b else ""
+    tag += " int8-llm" if args.quant_llm else ""
     print(f"{args.height}x{width} p={p} ({num_steps} AR steps x {args.steps} "
           f"diff steps), llm {args.layers}L/{hidden}d{tag}: "
           f"{best:.2f} s/image ({1.0/best:.3f} img/s) "
@@ -151,12 +166,14 @@ One 16GB chip CANNOT hold the model; deployment options, in order:
   1. TP over >=4 chips via parallel/tp.py shardings (weights 8.2GB/chip at
      tp=4); the sharded forward is exercised on the virtual mesh by
      __graft_entry__.dryrun_multichip and tests/test_tp.py.
-  2. int8 weight-only LLM + head (~16.3GB) over tp=2.
+  2. int8 W8A8 LLM (ops/int8.py) + int8 head over tp=2: ~8.1GB/chip.
 Largest single-chip measurable slice at TRUE width: --real-14b with
---layers N; each layer is 330M params (0.66GB bf16), embed 0.78GB, head
-3.1GB, so N<=14 fits with KV cache + VAE headroom. LLM cost scales
-linearly in depth, the head does not depend on depth; a 40L estimate is
-t(N) + (40-N) * per_layer_decode_time.
+--layers N; each layer is 330M params (0.66GB bf16 / 0.33GB int8), embed
+1.56GB bf16, head 3.1GB bf16 (+1.34GB int8 sampler copies when
+--quant-head), so N<=14 fits in bf16 and N<=28 with --quant-llm (both
+measured). LLM cost scales linearly in depth, the head does not depend on
+depth; a 40L estimate is t(N) + (40-N) * per_layer_decode_time — and the
+28L int8 measurement shows per-layer decode is small next to the head.
 """
 
 

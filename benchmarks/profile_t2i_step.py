@@ -61,6 +61,9 @@ def main():
     x0 = jax.random.normal(jax.random.PRNGKey(3), (n2, p, hidden), jnp.bfloat16)
     t_llm = marginal(make_llm, (params, x0), 16)
     print(f"LLM 64-token block decode (16L, cache 4.4k): {t_llm*1e3:7.2f} ms")
+    qparams = jax.jit(q3.quantize_qwen3_params)(params)
+    t_llm_q = marginal(make_llm, (qparams, x0), 16)
+    print(f"LLM 64-token block decode (int8 W8A8):       {t_llm_q*1e3:7.2f} ms")
 
     for quant in (False, True):
         head = DiffHead(ch_target=z, ch_cond=hidden, ch_latent=1024,

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from bitdance_tpu.ops.attention import attention_xla, masked_attention
 from bitdance_tpu.ops.decode_attention import windowed_decode_attention
+from bitdance_tpu.ops.int8 import QTensor, mm, quantize_linear
 from bitdance_tpu.ops.norms import rms_norm
 from bitdance_tpu.ops.rotary import apply_rope_half
 
@@ -105,6 +106,57 @@ def init_qwen3_params(key: jax.Array, cfg: Qwen3Config,
     return params
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def init_qwen3_params_int8(key: jax.Array, cfg: Qwen3Config,
+                           dtype: Any = jnp.bfloat16,
+                           with_lm_head: bool = False) -> dict:
+    """Random-init directly into int8 layer weights (bench/memory path).
+
+    Materializing a bf16 14B model and then quantizing would peak at the
+    full bf16 footprint (26+GB — never fits one chip); here each layer is
+    generated and quantized inside one `lax.map` step, so the bf16
+    transient never exceeds a single layer's largest matrix (~356MB).
+    Real released weights should instead be quantized shard-by-shard at
+    load time (io/torch_import.py streams per-tensor).
+    """
+    D = cfg.hidden_size
+    hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    I = cfg.intermediate_size
+    k_embed, k_head, k_layers = jax.random.split(key, 3)
+
+    def qdense(k, shape, scale=0.02):
+        return quantize_linear((jax.random.normal(k, shape) * scale
+                                ).astype(dtype))
+
+    def one_layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "q_proj": qdense(ks[0], (D, hq * hd)),
+            "k_proj": qdense(ks[1], (D, hkv * hd)),
+            "v_proj": qdense(ks[2], (D, hkv * hd)),
+            "o_proj": qdense(ks[3], (hq * hd, D)),
+            "gate_proj": qdense(ks[4], (D, I)),
+            "up_proj": qdense(ks[5], (D, I)),
+            "down_proj": qdense(ks[6], (I, D)),
+            "q_norm": jnp.ones((hd,), dtype),
+            "k_norm": jnp.ones((hd,), dtype),
+            "input_layernorm": jnp.ones((D,), dtype),
+            "post_attention_layernorm": jnp.ones((D,), dtype),
+        }
+
+    layers = jax.lax.map(one_layer,
+                         jax.random.split(k_layers, cfg.num_hidden_layers))
+    params = {
+        "embed_tokens": (jax.random.normal(k_embed, (cfg.vocab_size, D))
+                         * 0.02).astype(dtype),
+        "final_norm": jnp.ones((D,), dtype),
+        "layers": layers,
+    }
+    if with_lm_head and not cfg.tie_word_embeddings:
+        params["lm_head"] = qdense(k_head, (D, cfg.vocab_size))
+    return params
+
+
 def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int,
                   dtype: Any = jnp.float32) -> dict:
     """HEAD-MAJOR ring buffers [L, B, Hkv, max_len, D] — kv tiles then map
@@ -126,9 +178,32 @@ def _rope_at(cfg: Qwen3Config, positions: jax.Array):
 
 
 def _mlp(lp: dict, x: jax.Array) -> jax.Array:
-    gate = x @ lp["gate_proj"]
-    up = x @ lp["up_proj"]
-    return (jax.nn.silu(gate) * up) @ lp["down_proj"]
+    gate = mm(x, lp["gate_proj"])
+    up = mm(x, lp["up_proj"])
+    return mm(jax.nn.silu(gate) * up, lp["down_proj"])
+
+
+# Matrices that carry ~99% of the non-embedding bytes; everything else
+# (norm gains) stays in its original dtype.
+_QUANT_LAYER_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj",
+                     "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_qwen3_params(params: dict, quantize_lm_head: bool = True) -> dict:
+    """Int8-quantize the per-layer matmul weights (and optionally lm_head).
+
+    Inference-only: halves decode-phase weight HBM traffic and runs the
+    dots on the MXU's native s8 path (see ops/int8.py). Embeddings stay
+    unquantized (gather, not matmul). The returned pytree drops into every
+    qwen3_* entry point unchanged — `mm` dispatches on leaf type.
+    """
+    layers = dict(params["layers"])
+    for k in _QUANT_LAYER_KEYS:
+        layers[k] = quantize_linear(layers[k])
+    out = dict(params, layers=layers)
+    if quantize_lm_head and "lm_head" in params:
+        out["lm_head"] = quantize_linear(params["lm_head"])
+    return out
 
 
 def qwen3_forward(
@@ -158,17 +233,17 @@ def qwen3_forward(
         b, s, _ = x.shape
         hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = rms_norm((h @ lp["q_proj"]).reshape(b, s, hq, hd), lp["q_norm"],
+        q = rms_norm(mm(h, lp["q_proj"]).reshape(b, s, hq, hd), lp["q_norm"],
                      cfg.rms_norm_eps)
-        k = rms_norm((h @ lp["k_proj"]).reshape(b, s, hkv, hd), lp["k_norm"],
+        k = rms_norm(mm(h, lp["k_proj"]).reshape(b, s, hkv, hd), lp["k_norm"],
                      cfg.rms_norm_eps)
-        v = (h @ lp["v_proj"]).reshape(b, s, hkv, hd)
+        v = mm(h, lp["v_proj"]).reshape(b, s, hkv, hd)
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
         attn = masked_attention(q, k, v, block_ids, doc_ids, block_ids, doc_ids,
                                 implementation=attn_impl,
                                 max_live_kv=max_live_kv)
-        x = x + attn.reshape(b, s, hq * hd) @ lp["o_proj"]
+        x = x + mm(attn.reshape(b, s, hq * hd), lp["o_proj"])
         h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h)
         return x, None
@@ -226,11 +301,11 @@ def qwen3_forward_cached(
     def layer(carry, lp):
         x, k_all, v_all, li = carry
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = rms_norm((h @ lp["q_proj"]).reshape(b, s, hq, hd), lp["q_norm"],
+        q = rms_norm(mm(h, lp["q_proj"]).reshape(b, s, hq, hd), lp["q_norm"],
                      cfg.rms_norm_eps)
-        k = rms_norm((h @ lp["k_proj"]).reshape(b, s, hkv, hd), lp["k_norm"],
+        k = rms_norm(mm(h, lp["k_proj"]).reshape(b, s, hkv, hd), lp["k_norm"],
                      cfg.rms_norm_eps)
-        v = (h @ lp["v_proj"]).reshape(b, s, hkv, hd)
+        v = mm(h, lp["v_proj"]).reshape(b, s, hkv, hd)
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
         k_hm = jnp.transpose(k, (0, 2, 1, 3)).astype(k_all.dtype)
@@ -250,7 +325,7 @@ def qwen3_forward_cached(
             # bidirectional decode window: flash-decode Pallas kernel on TPU
             attn = windowed_decode_attention(q, k_cache, v_cache,
                                              kv_len_vec, kv_start)
-        x = x + attn.reshape(b, s, hq * hd) @ lp["o_proj"]
+        x = x + mm(attn.reshape(b, s, hq * hd), lp["o_proj"])
         h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h)
         return (x, k_all, v_all, li + 1), None
@@ -270,4 +345,4 @@ def lm_logits(params: dict, cfg: Qwen3Config, hidden: jax.Array) -> jax.Array:
     w = params.get("lm_head")
     if w is None:
         w = params["embed_tokens"].T
-    return (hidden @ w).astype(jnp.float32)
+    return mm(hidden, w).astype(jnp.float32)

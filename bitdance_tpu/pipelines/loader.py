@@ -28,7 +28,12 @@ from bitdance_tpu.models.tokenizer import VQModel
 from bitdance_tpu.pipelines.t2i import T2IModelBundle, T2IPipeline
 
 
-def load_t2i_pipeline(model_path: str, dtype=jnp.bfloat16) -> T2IPipeline:
+def load_t2i_pipeline(model_path: str, dtype=jnp.bfloat16,
+                      quantize_llm: bool = False,
+                      quantize_head: bool = False) -> T2IPipeline:
+    """quantize_llm: int8 W8A8 LLM matmuls (ops/int8.py) — halves decode
+    weight traffic at a small image-quality cost. quantize_head: int8
+    weight-only fused head sampler (DiffHead.sample_weight_quant)."""
     # LLM + tokenizer (added special tokens ride in tokenizer files)
     llm_params, hf_cfg = load_hf_qwen3_dir(model_path, dtype)
     llm_cfg = Qwen3Config(
@@ -44,6 +49,11 @@ def load_t2i_pipeline(model_path: str, dtype=jnp.bfloat16) -> T2IPipeline:
         rope_theta=hf_cfg.get("rope_theta", 1e6),
         tie_word_embeddings=hf_cfg.get("tie_word_embeddings", False),
     )
+    if quantize_llm:
+        from bitdance_tpu.models.qwen3 import quantize_qwen3_params
+
+        llm_params = jax.jit(quantize_qwen3_params)(llm_params)
+
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(model_path)
@@ -60,7 +70,8 @@ def load_t2i_pipeline(model_path: str, dtype=jnp.bfloat16) -> T2IPipeline:
     # Vision head
     with open(os.path.join(model_path, "vision_head_config.json")) as f:
         head_config = json.load(f)
-    head = DiffHead(**head_config_from_json(head_config), dtype=dtype)
+    head = DiffHead(**head_config_from_json(head_config), dtype=dtype,
+                    sample_weight_quant=quantize_head)
     head_params = convert_diffhead_state(
         load_safetensors(os.path.join(model_path, "vision_head.safetensors")),
         dtype)
