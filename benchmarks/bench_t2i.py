@@ -6,16 +6,16 @@ batched CFG — runs as one compiled program, with the flash-decode Pallas
 kernel active for caches >= 1024 entries.
 
 Measurements on one v5e (fused whole-sampler head kernel, round 2):
-  1024px 0.7B-class LLM (16L/1024d) bf16: 1.32-1.75 s/image (round 1: 3.10)
-  1024px 0.7B-class + int8 head (--quant-head): 1.10
-  1024px 0.7B-class int8 LLM (--quant-llm): 1.39
+  1024px 0.7B-class LLM (16L/1024d) bf16: 1.32-1.39 s/image (round 1: 3.10)
   1024px 0.7B-class int8 LLM + int8 head: 1.16
-  1024px REAL-14B width bf16 (--real-14b --layers 14, bf16 max): 18.38
-  1024px REAL-14B width int8 (--layers 14 --quant-llm --quant-head): 17.46
-  1024px REAL-14B width int8 28L (DOUBLE the bf16 depth budget): 18.10
-  At true 14B width the 5120-wide head dominates (~17 TFLOP/AR step at 128
-  rows x 50 EM steps — compute-bound), which is why LLM depth is nearly
-  free; see MEMORY_PLAN for full-model deployment options.
+  1024px REAL-14B width bf16 (--real-14b --layers 13, bf16 max): 16.05
+  1024px REAL-14B width int8 28L (--quant-llm --quant-head): 11.25
+    (int8 more than doubles the single-chip depth budget AND is 1.4x
+     faster: at 5120 width the head is matmul-COMPUTE-bound, so the
+     stacked XLA sampler with W8A8 MXU dots is the lever — the Pallas
+     whole-sampler kernel applies below ~2k width where per-block weights
+     fit VMEM and launches, not FLOPs, dominate.)
+  See MEMORY_PLAN for full-model deployment options.
 
 Usage: python benchmarks/bench_t2i.py [--height 1024] [--parallel 64]
        [--hidden 1024] [--layers 16] [--steps 50] [--images 1]
@@ -118,6 +118,17 @@ def main():
     hp = to_bf16(jax.jit(head.init)(
         jax.random.PRNGKey(2), jnp.zeros((2, p, z)),
         jnp.zeros((2, p, hidden)), jax.random.PRNGKey(3)))
+    # Stack (and optionally quantize) the head ONCE, before the multi-GB LLM
+    # weights exist, then drop the flax tree — at 14B width keeping both
+    # copies resident OOMs the chip (see T2IModelBundle.head_stacked).
+    stacked_head = None
+    if jax.default_backend() == "tpu":
+        from bitdance_tpu.models.diff_head import DiffHead as _DH
+
+        stacked_head = jax.jit(
+            lambda v: head.apply(v, method=_DH._stack_for_sampler))(hp)
+        jax.block_until_ready(stacked_head)
+        hp = None
     proj = MLPConnector(out_dim=hidden, dtype=jnp.bfloat16)
     pp = to_bf16(proj.init(jax.random.PRNGKey(4), jnp.zeros((1, z))))
 
@@ -134,7 +145,7 @@ def main():
         llm_cfg=llm_cfg, llm_params=llm_params, ae=ae, ae_params=ae_params,
         head=head, head_params=hp, projector=proj, projector_params=pp,
         parallel_num=p, hidden_size=hidden, vae_patch_size=16,
-        pe_max_len=4096)
+        pe_max_len=4096, head_stacked=stacked_head)
     pipe = T2IPipeline(bundle, tokenizer=_StubTokenizer(p))
 
     t0 = time.time()
@@ -169,11 +180,13 @@ One 16GB chip CANNOT hold the model; deployment options, in order:
   2. int8 W8A8 LLM (ops/int8.py) + int8 head over tp=2: ~8.1GB/chip.
 Largest single-chip measurable slice at TRUE width: --real-14b with
 --layers N; each layer is 330M params (0.66GB bf16 / 0.33GB int8), embed
-1.56GB bf16, head 3.1GB bf16 (+1.34GB int8 sampler copies when
---quant-head), so N<=14 fits in bf16 and N<=28 with --quant-llm (both
-measured). LLM cost scales linearly in depth, the head does not depend on
-depth; a 40L estimate is t(N) + (40-N) * per_layer_decode_time — and the
-28L int8 measurement shows per-layer decode is small next to the head.
+1.56GB bf16, stacked head 3.2GB bf16 / 1.7GB int8 (the flax tree is
+dropped after stacking — T2IModelBundle.head_stacked), so N<=13 fits in
+bf16 and N<=28 with --quant-llm --quant-head (both measured). LLM cost
+scales linearly in depth, the head does not depend on depth; a 40L
+estimate is t(N) + (40-N) * per_layer_decode_time — and the 28L int8
+measurement (11.25 s/image vs 14L's 10.8-est) shows per-layer decode is
+small next to the head.
 """
 
 

@@ -1,0 +1,179 @@
+"""Training-step throughput on one chip: ImageNet AR and packed MLLM.
+
+The reference publishes training *hardware* (16-64xH100, global batch 1024,
+imagenet_gen/README.md:95-150) but no step-time numbers; this records ours
+so regressions are visible and multi-chip projections (linear in DP) have a
+measured base. Sampling benches live in bench_t2i.py / bench.py.
+
+Both steps are the production code paths (donated state, adamw + EMA,
+bit-flip perturb, remat per config) — not stripped-down forward passes.
+
+Usage: python benchmarks/bench_train.py [--imagenet-batch 256]
+       [--mllm-budget 4096] [--steps 8] [--skip-imagenet] [--skip-mllm]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# sitecustomize imports jax at startup (axon plugin), so JAX_PLATFORMS in
+# the env is too late — config.update is the reliable switch (conftest.py).
+if os.environ.get("BITDANCE_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["BITDANCE_PLATFORM"])
+
+
+def _fence(x):
+    import jax
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
+
+
+def bench_imagenet(args):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bitdance_tpu.models.imagenet_ar import IMAGENET_MODELS
+    from bitdance_tpu.train.imagenet_train import (
+        ImageNetTrainConfig,
+        init_train_state,
+        train_step,
+    )
+
+    cfg = IMAGENET_MODELS[args.model](resolution=256)
+    tcfg = ImageNetTrainConfig(global_batch_size=args.imagenet_batch)
+    state, head, tx = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+
+    b = args.imagenet_batch
+    tokens = jnp.sign(jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.num_tokens, cfg.token_dim))) + 0.0
+    cls = jnp.arange(b, dtype=jnp.int32) % cfg.num_classes
+
+    step = jax.jit(
+        functools.partial(train_step, cfg=cfg, head=head, tx=tx,
+                          ema_decay=tcfg.ema_decay),
+        donate_argnums=(0,),
+    )
+
+    t0 = time.time()
+    state, metrics = step(state, tokens, cls, jax.random.PRNGKey(2))
+    _fence(metrics["loss"])
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(args.steps):
+        state, metrics = step(state, tokens, cls, jax.random.PRNGKey(3 + i))
+    _fence(metrics["loss"])
+    dt = (time.time() - t0) / args.steps
+    print(f"imagenet {args.model} train b{b} 256px: {dt*1e3:.0f} ms/step "
+          f"({b/dt:.1f} imgs/s/chip) [compile {compile_s:.0f}s]")
+
+
+def bench_mllm(args):
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from bitdance_tpu.data.packing import (
+        T2ISample,
+        pack_t2i_batch,
+        stack_packed_batches,
+    )
+    from bitdance_tpu.models import qwen3 as q3
+    from bitdance_tpu.models.mllm import MLLMConfig, PackedBatch, init_mllm_params
+    from bitdance_tpu.ops.rotary import sincos_1d_table
+    from bitdance_tpu.train.mllm_train import (
+        MLLMTrainConfig,
+        make_state,
+        make_tx,
+        train_step,
+    )
+
+    # 0.7B-class geometry (bench_t2i.py default) with the yaml's head shape
+    # scaled to match; packed budget/images mirror the 14B recipe at 1/8 the
+    # token budget (bitdance_14b_64x.yaml:45-47).
+    hidden = args.mllm_hidden
+    llm = q3.Qwen3Config(
+        vocab_size=4096, hidden_size=hidden, intermediate_size=hidden * 4,
+        num_hidden_layers=args.mllm_layers,
+        num_attention_heads=hidden // 64,
+        num_key_value_heads=max(hidden // 128, 1), head_dim=64)
+    p = 64
+    cfg = MLLMConfig(
+        llm=llm, z_channels=32, parallel_num=p, head_model_dim=hidden,
+        head_num_blocks=6, head_num_adaln=2, pe_max_len=4096,
+        attn_max_live_kv=max(args.mllm_budget // 512 // 2, 3))
+    tcfg = MLLMTrainConfig(lr=1e-5, warmup_steps=0, total_steps=1000)
+
+    rng = np.random.default_rng(0)
+    table = np.asarray(sincos_1d_table(hidden // 2, 64))
+    samples = []
+    # 512px images: 32x32 latents = 1024 tokens each
+    n_img = max((args.mllm_budget - 256) // 1100, 1)
+    for i in range(n_img):
+        samples.append(T2ISample(
+            text_ids=rng.integers(1, 2000, 40),
+            image_latents=np.sign(rng.normal(size=(1024, 32))).astype(
+                np.float32),
+            latent_h=32, latent_w=32,
+            vision_start_id=2001, res_h_id=2033, res_w_id=2033,
+            query_ids=np.arange(2100, 2100 + p - 1),
+            text_loss=True,
+        ))
+    raw = pack_t2i_batch(samples, p, args.mllm_budget, table)
+    raw = stack_packed_batches([raw])
+    batch = PackedBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+    n_tokens = int(np.asarray(batch.position_ids).size)
+
+    params = init_mllm_params(jax.random.PRNGKey(0), cfg,
+                              dtype=jnp.bfloat16)
+    tx = make_tx(params, tcfg)
+    state = make_state(params, tx, tcfg)
+
+    step = jax.jit(
+        functools.partial(train_step, cfg=cfg, tcfg=tcfg, tx=tx),
+        donate_argnums=(0,),
+    )
+    t0 = time.time()
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    _fence(metrics["loss"])
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(args.steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
+    _fence(metrics["loss"])
+    dt = (time.time() - t0) / args.steps
+    print(f"mllm packed train {args.mllm_layers}L/{hidden}d budget "
+          f"{args.mllm_budget} ({n_img} imgs): {dt*1e3:.0f} ms/step "
+          f"({n_tokens/dt:.0f} tokens/s/chip) [compile {compile_s:.0f}s]")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="BitDance-B")
+    ap.add_argument("--imagenet-batch", type=int, default=256)
+    ap.add_argument("--mllm-budget", type=int, default=4096)
+    ap.add_argument("--mllm-hidden", type=int, default=1024)
+    ap.add_argument("--mllm-layers", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--skip-imagenet", action="store_true")
+    ap.add_argument("--skip-mllm", action="store_true")
+    args = ap.parse_args()
+    if not args.skip_imagenet:
+        bench_imagenet(args)
+    if not args.skip_mllm:
+        bench_mllm(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -408,6 +408,9 @@ class DiffHead(nn.Module):
         """
         if self._can_fuse_sample(cond, cfg_mult):
             return self._fused_sample(cond, rng, cfg, num_sampling_steps)
+        if self._can_stack_sample(cond, cfg_mult):
+            return self._fused_sample(cond, rng, cfg, num_sampling_steps,
+                                      use_kernel=False)
         return euler_maruyama(
             lambda xx, tt, cc: self.net(xx, tt, cc),
             cond,
@@ -419,9 +422,7 @@ class DiffHead(nn.Module):
             flow_shift=self.time_shift,
         )
 
-    def _can_fuse_sample(self, cond, cfg_mult) -> bool:
-        from bitdance_tpu.ops.fused_head import fused_net_available
-
+    def _sample_shape_ok(self, cond, cfg_mult) -> bool:
         rows = 1
         for d in cond.shape[:-1]:
             rows *= d
@@ -435,30 +436,56 @@ class DiffHead(nn.Module):
             and cond.ndim == (3 if self.attention else 2)
             and rows % 2 == 0
             and (not self.attention or cond.shape[0] % 2 == 0)
-            and fused_net_available(self.ch_latent, rows, self.attention)
         )
+
+    def _can_fuse_sample(self, cond, cfg_mult) -> bool:
+        from bitdance_tpu.ops.fused_head import fused_net_available
+
+        rows = 1
+        for d in cond.shape[:-1]:
+            rows *= d
+        return (self._sample_shape_ok(cond, cfg_mult)
+                and fused_net_available(self.ch_latent, rows, self.attention))
+
+    def _can_stack_sample(self, cond, cfg_mult) -> bool:
+        """Stacked XLA sampler: same precomputed-mods design as the fused
+        kernel but with block weights riding a lax.scan — for widths whose
+        per-block weights exceed VMEM (the 5120-wide 14B head)."""
+        return self._sample_shape_ok(cond, cfg_mult)
 
     def _stack_for_sampler(self):
         from bitdance_tpu.ops.fused_head import stack_diffnet_params
 
-        return stack_diffnet_params(
+        out = stack_diffnet_params(
             self.variables["params"]["net"], self.depth_latent,
             self.attention,
             dtype=jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32,
             quant=self.sample_weight_quant)
+        # the EM samplers read the ada projections only through the
+        # concatenated modcat copy (em_precompute); dropping the separate
+        # stacks saves ~660MB at 14B width (they are only needed by the
+        # per-net-call fused_diffnet_forward entry point)
+        for k in ("ada_w", "ada_b", "f_ada_w", "f_ada_b"):
+            out.pop(k, None)
+        return out
 
     def _fused_sample(self, cond, rng, cfg, num_sampling_steps: int,
-                      stacked: dict | None = None):
+                      stacked: dict | None = None, use_kernel: bool = True):
         if stacked is None:
             stacked = self._stack_for_sampler()
         return _run_fused_sample(self, stacked, cond, rng, cfg,
-                                 num_sampling_steps)
+                                 num_sampling_steps, use_kernel=use_kernel)
 
 
 def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,
-                      num_sampling_steps: int):
-    """Fused whole-sampler invocation from pre-stacked weights."""
-    from bitdance_tpu.ops.fused_head import em_precompute, fused_em_sample
+                      num_sampling_steps: int, use_kernel: bool = True):
+    """Whole-sampler invocation from pre-stacked weights: the Pallas kernel
+    when per-block weights fit VMEM, else the stacked-scan XLA twin."""
+    from bitdance_tpu.ops.fused_head import (
+        em_precompute,
+        em_sample_stacked,
+        fused_em_sample,
+    )
 
     mods_dtype = (jnp.bfloat16 if head.dtype == jnp.bfloat16
                   else jnp.float32)
@@ -486,7 +513,8 @@ def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,
 
     bounded = (head.bounded_output if head.bounded_output is not None
                else head.attention)
-    out = fused_em_sample(
+    sampler = fused_em_sample if use_kernel else em_sample_stacked
+    out = sampler(
         stacked, x0, noise, allmods, t_all, dt_all,
         jnp.asarray(cfg, jnp.float32),
         num_blocks=head.depth_latent, num_ada=head.depth_adanln,
@@ -498,7 +526,8 @@ def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,
     return out
 
 
-def make_fused_sampler(head: DiffHead, head_variables: dict):
+def make_fused_sampler(head: DiffHead, head_variables: dict | None,
+                       stacked: dict | None = None):
     """Build a sampling closure with head weights PRE-STACKED (and, when
     head.sample_weight_quant, pre-quantized) for the fused TPU sampler.
 
@@ -507,11 +536,15 @@ def make_fused_sampler(head: DiffHead, head_variables: dict):
     ~100MB of weights per AR step. The returned fn falls back to the
     lax.scan sampler when the fused path doesn't apply to `cond`.
 
+    Pass `stacked` (built once via DiffHead._stack_for_sampler, e.g.
+    T2IModelBundle.head_stacked) to avoid a second in-trace copy of the
+    head weights; `head_variables` may then be None, which disables the
+    flax fallback (the stacked samplers cover every generation shape).
+
     sample_fn(cond, rng, cfg, num_sampling_steps, cfg_mult=2) -> latents
     """
-    if jax.default_backend() != "tpu":
-        stacked = None
-    else:
+    if stacked is None and head_variables is not None \
+            and jax.default_backend() == "tpu":
         stacked = head.apply(head_variables,
                              method=DiffHead._stack_for_sampler)
 
@@ -520,12 +553,45 @@ def make_fused_sampler(head: DiffHead, head_variables: dict):
             if stacked is not None and m._can_fuse_sample(cond, cfg_mult):
                 return m._fused_sample(cond, rng, cfg, num_sampling_steps,
                                        stacked=stacked)
+            if stacked is not None and m._can_stack_sample(cond, cfg_mult):
+                return m._fused_sample(cond, rng, cfg, num_sampling_steps,
+                                       stacked=stacked, use_kernel=False)
             return euler_maruyama(
                 lambda xx, tt, cc: m.net(xx, tt, cc), cond, rng,
                 m.ch_target, cfg=cfg, cfg_mult=cfg_mult,
                 num_sampling_steps=num_sampling_steps,
                 flow_shift=m.time_shift)
 
+        if head_variables is None:
+            # stacked-only mode: no flax tree resident; the module instance
+            # is used purely for its static config
+            assert stacked is not None, "need head_variables or stacked"
+            return _run_stacked_dispatch(head, stacked, cond, rng, cfg,
+                                         num_sampling_steps, cfg_mult)
         return head.apply(head_variables, cond, rng, cfg, method=impl)
 
     return sample_fn
+
+
+def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
+                          num_sampling_steps: int, cfg_mult: int):
+    """Sampler dispatch without a bound flax module (stacked-only mode)."""
+    from bitdance_tpu.ops.fused_head import fused_net_available
+
+    rows = 1
+    for d in cond.shape[:-1]:
+        rows *= d
+    ok = (
+        jax.default_backend() == "tpu"
+        and cfg_mult == 2
+        and head.use_swiglu
+        and head.ch_latent % 128 == 0
+        and head.ch_latent % head.attn_head_dim == 0
+        and cond.ndim == (3 if head.attention else 2)
+        and rows % 2 == 0
+        and (not head.attention or cond.shape[0] % 2 == 0)
+    )
+    assert ok, "stacked-only sampler requires the stacked-path shape contract"
+    use_kernel = fused_net_available(head.ch_latent, rows, head.attention)
+    return _run_fused_sample(head, stacked, cond, rng, cfg,
+                             num_sampling_steps, use_kernel=use_kernel)

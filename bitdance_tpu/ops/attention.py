@@ -150,7 +150,7 @@ def attention_xla(
 def _flash_kernel(
     qb_ref, qd_ref, kb_ref, kd_ref,  # id refs: [1, block_q] / [1, block_k]
     q_ref, k_ref, v_ref,             # [1, 1, block, D]
-    o_ref,
+    o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, scale: float, num_kv_blocks: int,
 ):
@@ -209,6 +209,10 @@ def _flash_kernel(
         l = l_scr[:]
         safe = jnp.where(l > 0, l, 1.0)
         o_ref[0, 0, :, :] = (acc_scr[:] / safe * (l > 0)).astype(o_ref.dtype)
+        # log-sum-exp residual for the backward pass; +1e30 on fully-masked
+        # rows so exp(s - lse) underflows to 0 there
+        lse_ref[0, 0, :, :] = jnp.where(
+            l > 0, m_scr[:] + jnp.log(safe), 1e30)
 
 
 def flash_attention(
@@ -254,6 +258,18 @@ def flash_attention(
     kp = jnp.transpose(kp, (0, 2, 1, 3))
     vp = jnp.transpose(vp, (0, 2, 1, 3))
 
+    out = _flash_core(scale, block_q, block_k, interpret,
+                      qp, kp, vp, qb, qd, kb, kd)
+    out = jnp.transpose(out, (0, 2, 1, 3))[:, :lq]
+    return out
+
+
+def _flash_forward_padded(qp, kp, vp, qb, qd, kb, kd,
+                          scale, block_q, block_k, interpret):
+    """Padded head-major forward: returns (o [B,Hq,Lqp,D], lse [B,Hq,Lqp,1])."""
+    b, hq, lq_p, d = qp.shape
+    _, hkv, lk_p, _ = kp.shape
+    group = hq // hkv
     n_q = lq_p // block_q
     n_k = lk_p // block_k
     grid = (b, hq, n_q, n_k)
@@ -261,7 +277,7 @@ def flash_attention(
     kernel = functools.partial(
         _flash_kernel, scale=scale, num_kv_blocks=n_k
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -279,8 +295,14 @@ def flash_attention(
                 lambda bi, h, i, j, g=group: (bi, h // g, j, 0),
             ),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hq, lq_p, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, h, i, j: (bi, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, lq_p, d), qp.dtype),
+            jax.ShapeDtypeStruct((b, hq, lq_p, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -291,14 +313,225 @@ def flash_attention(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * lq_p * lk_p * d,
-            bytes_accessed=(b * hq * lq_p * d + 2 * b * hkv * lk_p * d) * q.dtype.itemsize,
+            bytes_accessed=(b * hq * lq_p * d + 2 * b * hkv * lk_p * d) * qp.dtype.itemsize,
             transcendentals=b * hq * lq_p * lk_p,
         ),
         interpret=interpret,
     )(qb, qd, kb, kd, qp, kp, vp)
+    return out, lse
 
-    out = jnp.transpose(out, (0, 2, 1, 3))[:, :lq]
-    return out
+
+# ---------------------------------------------------------------------------
+# Backward pass (training-grade): Pallas dq and dk/dv kernels + custom VJP
+# ---------------------------------------------------------------------------
+
+def _bwd_tile_live(qb, qd, kb, kd):
+    """Same conservative tile-skip test as the forward kernel."""
+    doc_disjoint = (jnp.min(kd) > jnp.max(qd)) | (jnp.max(kd) < jnp.min(qd))
+    return (jnp.min(kb) <= jnp.max(qb)) & jnp.logical_not(doc_disjoint)
+
+
+def _flash_bwd_dq_kernel(
+    qb_ref, qd_ref, kb_ref, kd_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *, scale: float, num_kv_blocks: int,
+):
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    qb = qb_ref[0, :]
+    qd = qd_ref[0, :]
+    kb = kb_ref[0, :]
+    kd = kd_ref[0, :]
+
+    @pl.when(_bwd_tile_live(qb, qd, kb, kd))
+    def _compute():
+        q = q_ref[0, 0, :, :].astype(jnp.float32)
+        k = k_ref[0, 0, :, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
+        # p recomputed from the saved log-sum-exp (no online max needed)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, :, :]), 0.0)
+        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        v = v_ref[0, 0, :, :].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0, :, :])
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0, :, :] = (dq_scr[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    qb_ref, qd_ref, kb_ref, kd_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float, num_q_blocks: int,
+):
+    i = pl.program_id(3)     # sequential q axis; kv tile fixed per grid row
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qb = qb_ref[0, :]
+    qd = qd_ref[0, :]
+    kb = kb_ref[0, :]
+    kd = kd_ref[0, :]
+
+    @pl.when(_bwd_tile_live(qb, qd, kb, kd))
+    def _compute():
+        qs = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+        k = k_ref[0, 0, :, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, :, :]), 0.0)
+        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        v = v_ref[0, 0, :, :].astype(jnp.float32)
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0, :, :])
+        # dk = scale * ds^T @ q — the scale already rides in qs
+        dk_scr[:] += jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(i == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0, :, :] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward_padded(qp, kp, vp, qb, qd, kb, kd, o, lse, do,
+                           scale, block_q, block_k, interpret):
+    """dq/dk/dv in the padded head-major layout. dk/dv are computed per
+    Q-head and group-summed outside (GQA), trading a [B,Hq,Lk,D] f32
+    temporary for a simple revisit-free grid."""
+    b, hq, lq_p, d = qp.shape
+    _, hkv, lk_p, _ = kp.shape
+    group = hq // hkv
+    n_q = lq_p // block_q
+    n_k = lk_p // block_k
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)          # [B, Hq, Lqp, 1]
+
+    id_specs = lambda qi, ki: [
+        pl.BlockSpec((1, block_q), lambda bi, h, i, j: (bi, qi(i, j))),
+        pl.BlockSpec((1, block_q), lambda bi, h, i, j: (bi, qi(i, j))),
+        pl.BlockSpec((1, block_k), lambda bi, h, i, j: (bi, ki(i, j))),
+        pl.BlockSpec((1, block_k), lambda bi, h, i, j: (bi, ki(i, j))),
+    ]
+
+    def tensor_specs(qi, ki):
+        qspec = lambda w: pl.BlockSpec(
+            (1, 1, block_q, w), lambda bi, h, i, j: (bi, h, qi(i, j), 0))
+        kvspec = pl.BlockSpec(
+            (1, 1, block_k, d),
+            lambda bi, h, i, j, g=group: (bi, h // g, ki(i, j), 0))
+        return [qspec(d), kvspec, kvspec, qspec(d), qspec(1), qspec(1)]
+
+    # dq: grid (b, hq, n_q, n_k), kv sequential
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale,
+                          num_kv_blocks=n_k),
+        grid=(b, hq, n_q, n_k),
+        in_specs=id_specs(lambda i, j: i, lambda i, j: j)
+        + tensor_specs(lambda i, j: i, lambda i, j: j),
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, h, i, j: (bi, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hq, lq_p, d), qp.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qb, qd, kb, kd, qp, kp, vp, do, lse, delta)
+
+    # dk/dv: grid (b, hq, n_k, n_q), q sequential (axis named i in kernel)
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale,
+                          num_q_blocks=n_q),
+        grid=(b, hq, n_k, n_q),
+        in_specs=id_specs(lambda j, i: i, lambda j, i: j)
+        + tensor_specs(lambda j, i: i, lambda j, i: j),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, h, j, i: (bi, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, h, j, i: (bi, h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, lk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, lk_p, d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qb, qd, kb, kd, qp, kp, vp, do, lse, delta)
+
+    dk = dk_h.reshape(b, hkv, group, lk_p, d).sum(axis=2).astype(kp.dtype)
+    dv = dv_h.reshape(b, hkv, group, lk_p, d).sum(axis=2).astype(vp.dtype)
+    return dq, dk, dv
+
+
+def _float0_like(x):
+    import numpy as _np
+
+    return _np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_core(scale, block_q, block_k, interpret,
+                qp, kp, vp, qb, qd, kb, kd):
+    """Differentiable padded head-major flash attention core.
+
+    The reference trains through flash-attn's CUDA backward
+    (qwen3_packed_wrapper.py:78-90, imagenet layers.py:161-167); this is
+    the TPU equivalent — forward saves per-row log-sum-exp, backward
+    recomputes tile probabilities and accumulates dq (kv-sequential grid)
+    and dk/dv (q-sequential grid) in VMEM scratch.
+    """
+    o, _ = _flash_forward_padded(qp, kp, vp, qb, qd, kb, kd,
+                                 scale, block_q, block_k, interpret)
+    return o
+
+
+def _flash_core_fwd(scale, block_q, block_k, interpret,
+                    qp, kp, vp, qb, qd, kb, kd):
+    o, lse = _flash_forward_padded(qp, kp, vp, qb, qd, kb, kd,
+                                   scale, block_q, block_k, interpret)
+    return o, (qp, kp, vp, qb, qd, kb, kd, o, lse)
+
+
+def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
+    qp, kp, vp, qb, qd, kb, kd, o, lse = res
+    dq, dk, dv = _flash_backward_padded(
+        qp, kp, vp, qb, qd, kb, kd, o, lse, do,
+        scale, block_q, block_k, interpret)
+    return (dq, dk, dv,
+            _float0_like(qb), _float0_like(qd),
+            _float0_like(kb), _float0_like(kd))
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +542,7 @@ def _flash_kernel_sparse(
     map_ref, cnt_ref,                # scalar-prefetch: [B,n_q,S], [B,n_q]
     qb_ref, qd_ref, kb_ref, kd_ref,
     q_ref, k_ref, v_ref,
-    o_ref,
+    o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, scale: float, max_live_kv: int,
 ):
@@ -355,6 +588,8 @@ def _flash_kernel_sparse(
         l = l_scr[:]
         safe = jnp.where(l > 0, l, 1.0)
         o_ref[0, 0, :, :] = (acc_scr[:] / safe * (l > 0)).astype(o_ref.dtype)
+        lse_ref[0, 0, :, :] = jnp.where(
+            l > 0, m_scr[:] + jnp.log(safe), 1e30)
 
 
 def kv_tile_map(
@@ -446,6 +681,19 @@ def flash_attention_sparse(
     kb = _pad_axis(kv_block_ids.astype(jnp.int32), 1, lk_p, 0)
     kd = _pad_axis(kv_doc_ids.astype(jnp.int32), 1, lk_p, -2)
 
+    out = _flash_sparse_core(scale, block_q, block_k, max_live_kv, interpret,
+                             qp, kp, vp, qb, qd, kb, kd)
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :lq]
+
+
+def _flash_sparse_forward_padded(qp, kp, vp, qb, qd, kb, kd,
+                                 scale, block_q, block_k, max_live_kv,
+                                 interpret):
+    b, hq, lq_p, d = qp.shape
+    _, hkv, lk_p, _ = kp.shape
+    group = hq // hkv
+    n_q, n_k = lq_p // block_q, lk_p // block_k
+
     tile_map, counts = kv_tile_map(qb, qd, kb, kd, block_q, block_k,
                                    max_live_kv)
 
@@ -470,26 +718,67 @@ def flash_attention_sparse(
                          lambda bi, h, i, j, mp, ct, g=group:
                          (bi, h // g, mp[bi, i, j], 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hq, lq_p, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, lq_p, d), qp.dtype),
+            jax.ShapeDtypeStruct((b, hq, lq_p, 1), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
         interpret=interpret,
     )(tile_map, counts, qb, qd, kb, kd, qp, kp, vp)
+    return out, lse
 
-    return jnp.transpose(out, (0, 2, 1, 3))[:, :lq]
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flash_sparse_core(scale, block_q, block_k, max_live_kv, interpret,
+                       qp, kp, vp, qb, qd, kb, kd):
+    """Differentiable sparse-iteration core. Backward reuses the DENSE
+    grid kernels (tile skip prunes dead-tile FLOPs; only their k/v DMA is
+    paid) — correct because skipped tiles are provably fully masked, so
+    their recomputed p is exactly 0."""
+    o, _ = _flash_sparse_forward_padded(
+        qp, kp, vp, qb, qd, kb, kd,
+        scale, block_q, block_k, max_live_kv, interpret)
+    return o
+
+
+def _flash_sparse_core_fwd(scale, block_q, block_k, max_live_kv, interpret,
+                           qp, kp, vp, qb, qd, kb, kd):
+    o, lse = _flash_sparse_forward_padded(
+        qp, kp, vp, qb, qd, kb, kd,
+        scale, block_q, block_k, max_live_kv, interpret)
+    return o, (qp, kp, vp, qb, qd, kb, kd, o, lse)
+
+
+def _flash_sparse_core_bwd(scale, block_q, block_k, max_live_kv, interpret,
+                           res, do):
+    qp, kp, vp, qb, qd, kb, kd, o, lse = res
+    dq, dk, dv = _flash_backward_padded(
+        qp, kp, vp, qb, qd, kb, kd, o, lse, do,
+        scale, block_q, block_k, interpret)
+    return (dq, dk, dv,
+            _float0_like(qb), _float0_like(qd),
+            _float0_like(kb), _float0_like(kd))
+
+
+_flash_sparse_core.defvjp(_flash_sparse_core_fwd, _flash_sparse_core_bwd)
 
 
 def _round_up(x: int, m: int) -> int:

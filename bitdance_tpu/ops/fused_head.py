@@ -138,11 +138,23 @@ def _dot(a, w):
                                preferred_element_type=jnp.float32)
 
 
-def _dq(w, scale):
-    """Dequantize int8 weights with per-column f32 scales -> bf16 (VPU)."""
+def _mmq(a, w, scale):
+    """Matmul with optional W8A8 path.
+
+    scale=None: plain bf16 MXU dot. scale given (w int8, per-column f32
+    scales): quantize activations per row on the VPU and run the dot as
+    s8 x s8 -> s32 — the MXU's int8 rate is ~1.5x bf16 at these shapes
+    (measured 90 vs 62 TOP/s at [128, 5120] x [5120, 15360]) on top of the
+    halved weight DMA, vs dequantize-to-bf16 which only got the DMA half.
+    """
     if scale is None:
-        return w
-    return (w.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        return _dot(a, w)
+    sa = jnp.maximum(jnp.max(jnp.abs(a), axis=1, keepdims=True) / 127.0,
+                     1e-12)
+    aq = jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(aq, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (sa * scale)
 
 
 def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
@@ -164,7 +176,7 @@ def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
         n1, wqkv, bqkv, wo, bo, wqkv_s, wo_s = attn_w
         hd = c_dim // n_head
         ha = moded(h, 0, n1)
-        qkv = _dot(ha, _dq(wqkv, wqkv_s)) + bqkv[None]       # [R, 3C]
+        qkv = _mmq(ha, wqkv, wqkv_s) + bqkv[None]            # [R, 3C]
         w = h.shape[0] // groups
         outs = []
         for g in range(groups):
@@ -184,7 +196,7 @@ def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
                     preferred_element_type=jnp.float32))
             outs.append(jnp.concatenate(heads, axis=-1))
         attn_out = jnp.concatenate(outs, axis=0)
-        proj = _dot(attn_out, _dq(wo, wo_s)) + bo[None]
+        proj = _mmq(attn_out, wo, wo_s) + bo[None]
         gate1 = mods[:, 2 * c_dim:3 * c_dim]
         h = h + proj * gate1
         mlp_base = 3
@@ -192,10 +204,10 @@ def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
         mlp_base = 0
 
     hm = moded(h, mlp_base, n2)
-    h12 = _dot(hm, _dq(w1, w1_s)) + b1[None]
+    h12 = _mmq(hm, w1, w1_s) + b1[None]
     hidden = h12.shape[-1] // 2
     glu = jax.nn.silu(h12[:, :hidden]) * h12[:, hidden:]
-    mlp_out = _dot(glu, _dq(w2, w2_s)) + b2[None]
+    mlp_out = _mmq(glu, w2, w2_s) + b2[None]
     gate2 = mods[:, (mlp_base + 2) * c_dim:(mlp_base + 3) * c_dim]
     return h + mlp_out * gate2
 
@@ -559,6 +571,153 @@ def fused_em_sample(
         ),
         interpret=interpret,
     )(*args)
+
+
+def _block_body_xla(h, mods, attn_w, n2, w1, b1, w2, b2, *,
+                    n_head: int, groups: int, eps: float,
+                    w1_s=None, w2_s=None):
+    """XLA twin of _block_body with BATCHED attention (einsum over heads
+    instead of the kernel's per-head slicing loop — outside Pallas the
+    per-head loop would emit 2*groups*n_head tiny HLO ops per block)."""
+    c_dim = h.shape[-1]
+
+    def moded(x, which, nrm):
+        scale = mods[:, which * c_dim:(which + 1) * c_dim]
+        shift = mods[:, (which + 1) * c_dim:(which + 2) * c_dim]
+        ln = _ln(x, eps) * nrm[0][None].astype(jnp.float32) \
+            + nrm[1][None].astype(jnp.float32)
+        return ln * (1.0 + scale) + shift
+
+    if attn_w is not None:
+        n1, wqkv, bqkv, wo, bo, wqkv_s, wo_s = attn_w
+        hd = c_dim // n_head
+        ha = moded(h, 0, n1)
+        qkv = _mmq(ha, wqkv, wqkv_s) + bqkv[None]            # [R, 3C]
+        w = h.shape[0] // groups
+        qkv = qkv.reshape(groups, w, 3, n_head, hd)
+        q = qkv[:, :, 0] * (hd ** -0.5)
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
+        s = jnp.einsum("gqhd,gkhd->ghqk", q, k)
+        p = jax.nn.softmax(s, axis=-1)
+        attn_out = jnp.einsum("ghqk,gkhd->gqhd", p, v).reshape(
+            groups * w, c_dim)
+        proj = _mmq(attn_out, wo, wo_s) + bo[None]
+        gate1 = mods[:, 2 * c_dim:3 * c_dim]
+        h = h + proj * gate1
+        mlp_base = 3
+    else:
+        mlp_base = 0
+
+    hm = moded(h, mlp_base, n2)
+    h12 = _mmq(hm, w1, w1_s) + b1[None]
+    hidden = h12.shape[-1] // 2
+    glu = jax.nn.silu(h12[:, :hidden]) * h12[:, hidden:]
+    mlp_out = _mmq(glu, w2, w2_s) + b2[None]
+    gate2 = mods[:, (mlp_base + 2) * c_dim:(mlp_base + 3) * c_dim]
+    return h + mlp_out * gate2
+
+
+def em_sample_stacked(
+    stacked: dict,
+    x0: jax.Array,
+    noise: jax.Array,
+    allmods: jax.Array,
+    t_all: jax.Array,
+    dt_all: jax.Array,
+    cfg: jax.Array,
+    *,
+    num_blocks: int,
+    num_ada: int,
+    n_head: int = 0,
+    groups: int = 1,
+    attention: bool = True,
+    bounded: bool = True,
+    last_step_size: float = 0.05,
+) -> jax.Array:
+    """XLA twin of fused_em_sample for widths whose per-block weights exceed
+    VMEM (fused_net_available False — e.g. the 5120-wide 14B head, whose w1
+    alone is 157MB bf16). Same math, layouts, and precomputed-mods design;
+    block weights ride a `lax.scan` xs so each step reads one block.
+
+    When `stacked` was built with quant=True the matmuls run W8A8 on the
+    MXU's s8 path — at 5120 width the sampler is matmul-COMPUTE-bound
+    (6.07 ms/net-call flax vs a 5.7 ms bf16 matmul roofline), so the int8
+    rate is the remaining single-chip lever.
+    """
+    num_steps = noise.shape[0]
+    switch_freq = max(1, num_blocks // num_ada)
+    quant = "w1_s" in stacked
+    half, ch = x0.shape
+    c_dim = stacked["w1"].shape[1]
+    n_mods = 6 if attention else 3
+
+    xs = {
+        "idx": jnp.arange(num_blocks, dtype=jnp.int32),
+        "w1": stacked["w1"], "b1": stacked["b1"],
+        "w2": stacked["w2"], "b2": stacked["b2"], "n2": stacked["n2"],
+    }
+    if quant:
+        xs["w1_s"], xs["w2_s"] = stacked["w1_s"], stacked["w2_s"]
+    if attention:
+        xs.update(n1=stacked["n1"], wqkv=stacked["wqkv"],
+                  bqkv=stacked["bqkv"], wo=stacked["wo"], bo=stacked["bo"])
+        if quant:
+            xs["wqkv_s"], xs["wo_s"] = stacked["wqkv_s"], stacked["wo_s"]
+
+    def net_forward(x, mods_row):
+        combined = jnp.concatenate([x, x], axis=0)           # CFG rows
+        h = _dot(combined.astype(stacked["in_w"].dtype), stacked["in_w"]) \
+            + stacked["in_b"][None]
+
+        def block(h, bw):
+            g = bw["idx"] // switch_freq
+            mods = jax.lax.dynamic_slice_in_dim(
+                mods_row, g * n_mods * c_dim, n_mods * c_dim, axis=1
+            ).astype(jnp.float32)
+            attn_w = None
+            if attention:
+                attn_w = (bw["n1"], bw["wqkv"], bw["bqkv"][0], bw["wo"],
+                          bw["bo"][0],
+                          bw["wqkv_s"] if quant else None,
+                          bw["wo_s"] if quant else None)
+            h = _block_body_xla(
+                h, mods, attn_w, bw["n2"], bw["w1"], bw["b1"][0],
+                bw["w2"], bw["b2"][0], n_head=n_head, groups=groups,
+                eps=1e-6,
+                w1_s=bw["w1_s"] if quant else None,
+                w2_s=bw["w2_s"] if quant else None)
+            return h, None
+
+        h, _ = jax.lax.scan(block, h, xs)
+        fmod = mods_row[:, -(2 * c_dim):].astype(jnp.float32)
+        z = _ln(h) * (1.0 + fmod[:, :c_dim]) + fmod[:, c_dim:]
+        out = _dot(z.astype(stacked["f_out_w"].dtype), stacked["f_out_w"]) \
+            + stacked["f_out_b"][None]
+        if bounded:
+            out = 2.0 * jax.nn.sigmoid(out) - 1.0
+        return out                                           # [R, ch]
+
+    def vc_at(x, s):
+        out = net_forward(x, allmods[s])
+        t = t_all[s]
+        combined = jnp.concatenate([x, x], axis=0)
+        v = (out - combined) / jnp.maximum(1.0 - t, 0.05)
+        return v[:half] * cfg + v[half:] * (1.0 - cfg), t
+
+    def step(x, s):
+        vc, t = vc_at(x, s)
+        dt = dt_all[s]
+        var = jnp.square(1.0 - t) + t * (1.0 - t)
+        score = (t * vc - x) / var
+        drift = vc + (1.0 - t) * score
+        ns = jnp.sqrt(2.0 * (1.0 - t) * dt)
+        return x + drift * dt + ns * noise[s], None
+
+    x, _ = jax.lax.scan(step, x0.astype(jnp.float32),
+                        jnp.arange(num_steps, dtype=jnp.int32))
+    vc, _ = vc_at(x, jnp.int32(num_steps))
+    return x + vc * last_step_size
 
 
 def em_precompute(stacked: dict, c_emb: jax.Array, t_all: jax.Array,

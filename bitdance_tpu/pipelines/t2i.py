@@ -54,6 +54,11 @@ class T2IModelBundle:
     hidden_size: int
     vae_patch_size: int
     pe_max_len: int = 4096
+    # pre-stacked (optionally int8) head weights for the TPU samplers. At
+    # 14B width the flax tree (3.1GB) plus in-trace stacked copies would
+    # double head residency; building the stack ONCE (in weight-load order,
+    # before the LLM) and passing head_params=None keeps one copy live.
+    head_stacked: dict | None = None
 
     @property
     def ps(self) -> int:
@@ -124,7 +129,8 @@ def generate_tokens(
     # (XLA does not hoist the stacking out of lax.scan reliably)
     from bitdance_tpu.models.diff_head import make_fused_sampler
 
-    head_sampler = make_fused_sampler(bundle.head, bundle.head_params)
+    head_sampler = make_fused_sampler(bundle.head, bundle.head_params,
+                                      stacked=bundle.head_stacked)
 
     def decode_step(carry, step):
         cache, hidden, key = carry
@@ -198,6 +204,7 @@ class T2IPipeline:
                 b = dataclasses.replace(
                     base, llm_params=params3["llm"],
                     head_params=params3["head"],
+                    head_stacked=params3.get("head_stacked"),
                     projector_params=params3["proj"])
                 return generate_tokens(
                     b, prompt_ids, prompt_pad, start_ids, pe, rng,
@@ -210,6 +217,7 @@ class T2IPipeline:
     def _params3(self):
         return {"llm": self.bundle.llm_params,
                 "head": self.bundle.head_params,
+                "head_stacked": self.bundle.head_stacked,
                 "proj": self.bundle.projector_params}
 
     def _decode_compiled(self, latent_h, latent_w):

@@ -76,4 +76,20 @@ op = flash_attention(qp, kp, kp, bb, dd2, bb, dk)
 pad_max = float(jnp.max(jnp.abs(op[0, 200:].astype(jnp.float32))))
 print("probe odd-length+padded rows: pad rows max abs =", pad_max)
 assert pad_max == 0.0
+# --- 4. Flash-attention BACKWARD on real hardware (training-grade VJP) ---
+Lg = 512
+qg = jax.random.normal(jax.random.PRNGKey(11), (1, Lg, 4, 128), jnp.bfloat16)
+kg = jax.random.normal(jax.random.PRNGKey(12), (1, Lg, 2, 128), jnp.bfloat16)
+vg = jax.random.normal(jax.random.PRNGKey(13), (1, Lg, 2, 128), jnp.bfloat16)
+bg = jnp.arange(Lg, dtype=jnp.int32)[None]
+dg = jnp.zeros((1, Lg), jnp.int32)
+
+def attn_loss(q, k, v):
+    return jnp.sum(flash_attention(q, k, v, bg, dg, bg, dg).astype(jnp.float32) ** 2)
+
+grads = jax.jit(jax.grad(attn_loss, argnums=(0, 1, 2)))(qg, kg, vg)
+gnorms = [float(jnp.linalg.norm(g.astype(jnp.float32))) for g in grads]
+print("flash bwd on TPU: |dq|,|dk|,|dv| =", [round(g, 1) for g in gnorms])
+assert all(np.isfinite(g) and g > 0 for g in gnorms)
+
 print("ALL DRIVES PASSED ON", jax.default_backend().upper())

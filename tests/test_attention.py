@@ -192,3 +192,93 @@ def test_kv_tile_map_counts():
     assert tm[0, 0, 0] == 0 and tm[0, 1, 0] == 1
     # trailing entries repeat the last live tile (no-op DMA)
     assert tm[0, 0, 1] == 0 and tm[0, 1, 1] == 1
+
+
+@pytest.mark.parametrize(
+    "b,lq,hq,hkv,d",
+    [
+        (1, 256, 2, 2, 64),
+        (2, 300, 4, 2, 64),   # GQA + non-tile-multiple length
+    ],
+)
+def test_flash_backward_matches_xla(b, lq, hq, hkv, d):
+    """Pallas flash backward (custom VJP) == XLA attention grads, causal."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), b, lq, lq, hq, hkv, d,
+                        jnp.float32)
+    qb = jnp.broadcast_to(jnp.arange(lq, dtype=jnp.int32), (b, lq))
+    qd = jnp.zeros((b, lq), jnp.int32)
+    w = jax.random.normal(jax.random.PRNGKey(6), q.shape, jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, qb, qd, qb, qd, block_q=128,
+                            block_k=128, interpret=True)
+        return jnp.sum(o * w)
+
+    def loss_xla(q, k, v):
+        mask = jax.vmap(mask_from_ids)(qb, qd, qb, qd)
+        return jnp.sum(attention_xla(q, k, v, mask[:, None]) * w)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d{name}")
+
+
+def test_flash_backward_packed_docs():
+    """Gradients under a packed multi-document parallel-block mask."""
+    sample_lens = [40, 88]
+    split_lens = [8, 32, 24, 64]
+    attn_modes = ["causal", "parallel", "causal", "parallel"]
+    block, doc = packed_ids_from_segments(sample_lens, split_lens,
+                                          attn_modes, 16)
+    L = sum(sample_lens)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), 1, L, L, 2, 2, 64)
+    qb, qd = block[None], doc[None]
+    w = jax.random.normal(jax.random.PRNGKey(8), q.shape, jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, qb, qd, qb, qd, block_q=128,
+                            block_k=128, interpret=True)
+        return jnp.sum(o * w)
+
+    def loss_xla(q, k, v):
+        mask = jax.vmap(mask_from_ids)(qb, qd, qb, qd)
+        return jnp.sum(attention_xla(q, k, v, mask[:, None]) * w)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d{name}")
+
+
+def test_sparse_flash_backward_matches_xla():
+    """The sparse-iteration forward differentiates via the dense backward
+    kernels; grads must match the XLA reference on a packed mask."""
+    from bitdance_tpu.ops.attention import flash_attention_sparse
+
+    sample_lens = [128, 128, 128]
+    split_lens = [16, 112, 16, 112, 16, 112]
+    attn_modes = ["causal", "parallel"] * 3
+    block, doc = packed_ids_from_segments(sample_lens, split_lens,
+                                          attn_modes, 16)
+    L = sum(sample_lens)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), 1, L, L, 2, 1, 64)
+    qb, qd = block[None], doc[None]
+    w = jax.random.normal(jax.random.PRNGKey(10), q.shape, jnp.float32)
+
+    def loss_sparse(q, k, v):
+        o = flash_attention_sparse(q, k, v, qb, qd, qb, qd, max_live_kv=2,
+                                   block_q=128, block_k=128, interpret=True)
+        return jnp.sum(o * w)
+
+    def loss_xla(q, k, v):
+        mask = jax.vmap(mask_from_ids)(qb, qd, qb, qd)
+        return jnp.sum(attention_xla(q, k, v, mask[:, None]) * w)
+
+    got = jax.grad(loss_sparse, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d{name}")
