@@ -47,7 +47,9 @@ def bench_imagenet(args):
         train_step,
     )
 
-    cfg = IMAGENET_MODELS[args.model](resolution=256)
+    # remat matches the reference's grad-checkpointing flag; without it the
+    # 24-layer b256 backward residuals alone are 19GB
+    cfg = IMAGENET_MODELS[args.model](resolution=256, grad_checkpointing=True)
     tcfg = ImageNetTrainConfig(global_batch_size=args.imagenet_batch)
     state, head, tx = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
 
@@ -58,7 +60,8 @@ def bench_imagenet(args):
 
     step = jax.jit(
         functools.partial(train_step, cfg=cfg, head=head, tx=tx,
-                          ema_decay=tcfg.ema_decay),
+                          ema_decay=tcfg.ema_decay,
+                          mixed_precision=tcfg.mixed_precision),
         donate_argnums=(0,),
     )
 
@@ -117,14 +120,17 @@ def bench_mllm(args):
     rng = np.random.default_rng(0)
     table = np.asarray(sincos_1d_table(hidden // 2, 64))
     samples = []
-    # 512px images: 32x32 latents = 1024 tokens each
-    n_img = max((args.mllm_budget - 256) // 1100, 1)
+    # 512px images (32x32 latents = 1024 tokens) at real budgets; tiny 8x8
+    # images for smoke-scale budgets
+    side = 32 if args.mllm_budget >= 2048 else 8
+    per_sample = side * side + p + 48
+    n_img = max((args.mllm_budget - 64) // per_sample, 1)
     for i in range(n_img):
         samples.append(T2ISample(
             text_ids=rng.integers(1, 2000, 40),
-            image_latents=np.sign(rng.normal(size=(1024, 32))).astype(
+            image_latents=np.sign(rng.normal(size=(side * side, 32))).astype(
                 np.float32),
-            latent_h=32, latent_w=32,
+            latent_h=side, latent_w=side,
             vision_start_id=2001, res_h_id=2033, res_w_id=2033,
             query_ids=np.arange(2100, 2100 + p - 1),
             text_loss=True,

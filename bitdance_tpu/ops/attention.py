@@ -162,10 +162,10 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    qb = qb_ref[0, :]
-    qd = qd_ref[0, :]
-    kb = kb_ref[0, :]
-    kd = kd_ref[0, :]
+    qb = qb_ref[0, 0, :]
+    qd = qd_ref[0, 0, :]
+    kb = kb_ref[0, 0, :]
+    kd = kd_ref[0, 0, :]
 
     # Conservative tile skip: with allowed = (doc_q == doc_k) & (kb <= qb),
     # a tile is provably all-masked when every kv block id exceeds every q
@@ -277,14 +277,19 @@ def _flash_forward_padded(qp, kp, vp, qb, qd, kb, kd,
     kernel = functools.partial(
         _flash_kernel, scale=scale, num_kv_blocks=n_k
     )
+    # ids ride as [B, 1, L] so the (1, 1, block) BlockSpec satisfies
+    # Mosaic's tiling rule for B > 1 (block dim must divide 8/128 or equal
+    # the array dim — the middle 1 equals 1)
+    qb, qd = qb[:, None, :], qd[:, None, :]
+    kb, kd = kb[:, None, :], kd[:, None, :]
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bi, h, i, j: (bi, i)),
-            pl.BlockSpec((1, block_q), lambda bi, h, i, j: (bi, i)),
-            pl.BlockSpec((1, block_k), lambda bi, h, i, j: (bi, j)),
-            pl.BlockSpec((1, block_k), lambda bi, h, i, j: (bi, j)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, h, i, j: (bi, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, h, i, j: (bi, 0, i)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, h, i, j: (bi, 0, j)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, h, i, j: (bi, 0, j)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
             pl.BlockSpec(
                 (1, 1, block_k, d),
@@ -344,10 +349,10 @@ def _flash_bwd_dq_kernel(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    qb = qb_ref[0, :]
-    qd = qd_ref[0, :]
-    kb = kb_ref[0, :]
-    kd = kd_ref[0, :]
+    qb = qb_ref[0, 0, :]
+    qd = qd_ref[0, 0, :]
+    kb = kb_ref[0, 0, :]
+    kd = kd_ref[0, 0, :]
 
     @pl.when(_bwd_tile_live(qb, qd, kb, kd))
     def _compute():
@@ -386,10 +391,10 @@ def _flash_bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    qb = qb_ref[0, :]
-    qd = qd_ref[0, :]
-    kb = kb_ref[0, :]
-    kd = kd_ref[0, :]
+    qb = qb_ref[0, 0, :]
+    qd = qd_ref[0, 0, :]
+    kb = kb_ref[0, 0, :]
+    kd = kd_ref[0, 0, :]
 
     @pl.when(_bwd_tile_live(qb, qd, kb, kd))
     def _compute():
@@ -429,12 +434,14 @@ def _flash_backward_padded(qp, kp, vp, qb, qd, kb, kd, o, lse, do,
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)          # [B, Hq, Lqp, 1]
+    qb, qd = qb[:, None, :], qd[:, None, :]
+    kb, kd = kb[:, None, :], kd[:, None, :]
 
     id_specs = lambda qi, ki: [
-        pl.BlockSpec((1, block_q), lambda bi, h, i, j: (bi, qi(i, j))),
-        pl.BlockSpec((1, block_q), lambda bi, h, i, j: (bi, qi(i, j))),
-        pl.BlockSpec((1, block_k), lambda bi, h, i, j: (bi, ki(i, j))),
-        pl.BlockSpec((1, block_k), lambda bi, h, i, j: (bi, ki(i, j))),
+        pl.BlockSpec((1, 1, block_q), lambda bi, h, i, j: (bi, 0, qi(i, j))),
+        pl.BlockSpec((1, 1, block_q), lambda bi, h, i, j: (bi, 0, qi(i, j))),
+        pl.BlockSpec((1, 1, block_k), lambda bi, h, i, j: (bi, 0, ki(i, j))),
+        pl.BlockSpec((1, 1, block_k), lambda bi, h, i, j: (bi, 0, ki(i, j))),
     ]
 
     def tensor_specs(qi, ki):
@@ -560,10 +567,10 @@ def _flash_kernel_sparse(
 
     @pl.when(live)
     def _compute():
-        qb = qb_ref[0, :]
-        qd = qd_ref[0, :]
-        kb = kb_ref[0, :]
-        kd = kd_ref[0, :]
+        qb = qb_ref[0, 0, :]
+        qd = qd_ref[0, 0, :]
+        kb = kb_ref[0, 0, :]
+        kd = kd_ref[0, 0, :]
         q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
         k = k_ref[0, 0, :, :].astype(jnp.float32)
         s = jax.lax.dot_general(
@@ -592,20 +599,13 @@ def _flash_kernel_sparse(
             l > 0, m_scr[:] + jnp.log(safe), 1e30)
 
 
-def kv_tile_map(
+def tile_live_matrix(
     q_block_ids: jax.Array, q_doc_ids: jax.Array,
     kv_block_ids: jax.Array, kv_doc_ids: jax.Array,
-    block_q: int, block_k: int, max_live_kv: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Per-(batch, q-tile) list of LIVE kv tiles, in ascending order.
-
-    A kv tile is live for a q tile unless it is provably fully masked
-    (min kv block id > max q block id, or disjoint doc-id ranges). Returns
-    (tile_map [B, n_q, max_live_kv] int32, counts [B, n_q] int32); trailing
-    entries repeat the last live tile index so the revolving-buffer DMA is
-    a no-op for skipped grid steps. Traced (cheap min/max reductions) —
-    only max_live_kv must be static.
-    """
+    block_q: int, block_k: int,
+) -> jax.Array:
+    """[B, n_q, n_k] bool: tile (i, j) is live unless provably fully masked
+    (min kv block id > max q block id, or disjoint doc-id ranges)."""
     b, lq = q_block_ids.shape
     lk = kv_block_ids.shape[1]
     n_q, n_k = lq // block_q, lk // block_k
@@ -622,17 +622,38 @@ def kv_tile_map(
     blk_live = kv_blk_min[:, None, :] <= q_blk_max[:, :, None]
     doc_live = ~((k_doc_min[:, None, :] > q_doc_max[:, :, None])
                  | (k_doc_max[:, None, :] < q_doc_min[:, :, None]))
-    live = blk_live & doc_live                        # [B, n_q, n_k]
+    return blk_live & doc_live                        # [B, n_q, n_k]
 
+
+def select_live_tiles(live: jax.Array, max_n: int):
+    """live [B, R, C] bool -> (tile_map [B, R, max_n], counts [B, R]): per
+    row, the live column indices in ascending order; trailing entries
+    repeat the last live index so revolving-buffer DMAs are no-ops for
+    skipped grid steps. Counts are clamped to max_n (undersizing DROPS
+    tiles — size max_n from a hard data guarantee)."""
     counts = jnp.sum(live, axis=-1).astype(jnp.int32)
     # stable argsort of ~live puts live tile indices first, ascending
     order = jnp.argsort(~live, axis=-1, stable=True).astype(jnp.int32)
-    sel = order[..., :max_live_kv]
+    sel = order[..., :max_n]
     last = jnp.take_along_axis(
         sel, jnp.maximum(counts - 1, 0)[..., None].astype(jnp.int32), axis=-1)
-    pos = jnp.arange(max_live_kv, dtype=jnp.int32)
+    pos = jnp.arange(max_n, dtype=jnp.int32)
     tile_map = jnp.where(pos[None, None] < counts[..., None], sel, last)
-    return tile_map, jnp.minimum(counts, max_live_kv)
+    return tile_map, jnp.minimum(counts, max_n)
+
+
+def kv_tile_map(
+    q_block_ids: jax.Array, q_doc_ids: jax.Array,
+    kv_block_ids: jax.Array, kv_doc_ids: jax.Array,
+    block_q: int, block_k: int, max_live_kv: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-(batch, q-tile) list of LIVE kv tiles, in ascending order.
+
+    Traced (cheap min/max reductions) — only max_live_kv must be static.
+    """
+    live = tile_live_matrix(q_block_ids, q_doc_ids, kv_block_ids, kv_doc_ids,
+                            block_q, block_k)
+    return select_live_tiles(live, max_live_kv)
 
 
 def flash_attention_sparse(
@@ -696,6 +717,8 @@ def _flash_sparse_forward_padded(qp, kp, vp, qb, qd, kb, kd,
 
     tile_map, counts = kv_tile_map(qb, qd, kb, kd, block_q, block_k,
                                    max_live_kv)
+    qb, qd = qb[:, None, :], qd[:, None, :]
+    kb, kd = kb[:, None, :], kd[:, None, :]
 
     kernel = functools.partial(_flash_kernel_sparse, scale=scale,
                                max_live_kv=max_live_kv)
@@ -703,12 +726,14 @@ def _flash_sparse_forward_padded(qp, kp, vp, qb, qd, kb, kd,
         num_scalar_prefetch=2,
         grid=(b, hq, n_q, max_live_kv),
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bi, h, i, j, mp, ct: (bi, i)),
-            pl.BlockSpec((1, block_q), lambda bi, h, i, j, mp, ct: (bi, i)),
-            pl.BlockSpec((1, block_k),
-                         lambda bi, h, i, j, mp, ct: (bi, mp[bi, i, j])),
-            pl.BlockSpec((1, block_k),
-                         lambda bi, h, i, j, mp, ct: (bi, mp[bi, i, j])),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bi, h, i, j, mp, ct: (bi, 0, i)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bi, h, i, j, mp, ct: (bi, 0, i)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, h, i, j, mp, ct: (bi, 0, mp[bi, i, j])),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, h, i, j, mp, ct: (bi, 0, mp[bi, i, j])),
             pl.BlockSpec((1, 1, block_q, d),
                          lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
             pl.BlockSpec((1, 1, block_k, d),
@@ -767,12 +792,228 @@ def _flash_sparse_core_fwd(scale, block_q, block_k, max_live_kv, interpret,
     return o, (qp, kp, vp, qb, qd, kb, kd, o, lse)
 
 
+def _flash_bwd_dq_kernel_sparse(
+    map_ref, cnt_ref,
+    qb_ref, qd_ref, kb_ref, kd_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *, scale: float, max_live_kv: int,
+):
+    bi = pl.program_id(0)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(j < cnt_ref[bi, i])
+    def _compute():
+        qb = qb_ref[0, 0, :]
+        qd = qd_ref[0, 0, :]
+        kb = kb_ref[0, 0, :]
+        kd = kd_ref[0, 0, :]
+        q = q_ref[0, 0, :, :].astype(jnp.float32)
+        k = k_ref[0, 0, :, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, :, :]), 0.0)
+        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        v = v_ref[0, 0, :, :].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0, :, :])
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == max_live_kv - 1)
+    def _finalize():
+        dq_ref[0, 0, :, :] = (dq_scr[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel_sparse(
+    qmap_ref, qcnt_ref,
+    qb_ref, qd_ref, kb_ref, kd_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float, max_live_q: int,
+):
+    bi = pl.program_id(0)
+    jk = pl.program_id(2)
+    i = pl.program_id(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(i < qcnt_ref[bi, jk])
+    def _compute():
+        qb = qb_ref[0, 0, :]
+        qd = qd_ref[0, 0, :]
+        kb = kb_ref[0, 0, :]
+        kd = kd_ref[0, 0, :]
+        qs = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+        k = k_ref[0, 0, :, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, :, :]), 0.0)
+        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        v = v_ref[0, 0, :, :].astype(jnp.float32)
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0, :, :])
+        dk_scr[:] += jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(i == max_live_q - 1)
+    def _finalize():
+        dk_ref[0, 0, :, :] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_sparse_backward_padded(qp, kp, vp, qb, qd, kb, kd, o, lse, do,
+                                  scale, block_q, block_k, max_live_kv,
+                                  interpret):
+    """Sparse-iteration backward: dq via the forward's per-q-tile kv list,
+    dk/dv via the TRANSPOSED per-kv-tile q list, so cross-document dead
+    tiles are never DMA'd in the backward either.
+
+    max_live_q derives from the same data guarantee as max_live_kv: a kv
+    tile's live q range spans at most its own block_k tokens plus the
+    longest document, i.e. max_live_kv * block_k / block_q + 1 q tiles.
+    """
+    b, hq, lq_p, d = qp.shape
+    _, hkv, lk_p, _ = kp.shape
+    group = hq // hkv
+    n_q = lq_p // block_q
+    n_k = lk_p // block_k
+    max_live_q = min(n_q, max_live_kv * block_k // block_q + 1)
+
+    live = tile_live_matrix(qb, qd, kb, kd, block_q, block_k)
+    tile_map, counts = select_live_tiles(live, max_live_kv)
+    qtile_map, qcounts = select_live_tiles(
+        jnp.swapaxes(live, 1, 2), max_live_q)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    qb, qd = qb[:, None, :], qd[:, None, :]
+    kb, kd = kb[:, None, :], kd[:, None, :]
+
+    # dq: grid (b, hq, n_q, max_live_kv); kv tile from the prefetched map
+    dq_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hq, n_q, max_live_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bi, h, i, j, mp, ct: (bi, 0, i)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bi, h, i, j, mp, ct: (bi, 0, i)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, h, i, j, mp, ct: (bi, 0, mp[bi, i, j])),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, h, i, j, mp, ct: (bi, 0, mp[bi, i, j])),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, i, j, mp, ct, g=group:
+                         (bi, h // g, mp[bi, i, j], 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, i, j, mp, ct, g=group:
+                         (bi, h // g, mp[bi, i, j], 0)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel_sparse, scale=scale,
+                          max_live_kv=max_live_kv),
+        grid_spec=dq_grid,
+        out_shape=jax.ShapeDtypeStruct((b, hq, lq_p, d), qp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tile_map, counts, qb, qd, kb, kd, qp, kp, vp, do, lse, delta)
+
+    # dk/dv: grid (b, hq, n_k, max_live_q); q tile from the transposed map
+    dkv_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hq, n_k, max_live_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bi, h, jk, i, mp, ct: (bi, 0, mp[bi, jk, i])),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bi, h, jk, i, mp, ct: (bi, 0, mp[bi, jk, i])),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, h, jk, i, mp, ct: (bi, 0, jk)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, h, jk, i, mp, ct: (bi, 0, jk)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, h, jk, i, mp, ct: (bi, h, mp[bi, jk, i], 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, jk, i, mp, ct, g=group:
+                         (bi, h // g, jk, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, jk, i, mp, ct, g=group:
+                         (bi, h // g, jk, 0)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, h, jk, i, mp, ct: (bi, h, mp[bi, jk, i], 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda bi, h, jk, i, mp, ct: (bi, h, mp[bi, jk, i], 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda bi, h, jk, i, mp, ct: (bi, h, mp[bi, jk, i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, jk, i, mp, ct: (bi, h, jk, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, h, jk, i, mp, ct: (bi, h, jk, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+    )
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel_sparse, scale=scale,
+                          max_live_q=max_live_q),
+        grid_spec=dkv_grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, lk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, lk_p, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qtile_map, qcounts, qb, qd, kb, kd, qp, kp, vp, do, lse, delta)
+
+    dk = dk_h.reshape(b, hkv, group, lk_p, d).sum(axis=2).astype(kp.dtype)
+    dv = dv_h.reshape(b, hkv, group, lk_p, d).sum(axis=2).astype(vp.dtype)
+    return dq, dk, dv
+
+
 def _flash_sparse_core_bwd(scale, block_q, block_k, max_live_kv, interpret,
                            res, do):
     qp, kp, vp, qb, qd, kb, kd, o, lse = res
-    dq, dk, dv = _flash_backward_padded(
+    dq, dk, dv = _flash_sparse_backward_padded(
         qp, kp, vp, qb, qd, kb, kd, o, lse, do,
-        scale, block_q, block_k, interpret)
+        scale, block_q, block_k, max_live_kv, interpret)
     return (dq, dk, dv,
             _float0_like(qb), _float0_like(qd),
             _float0_like(kb), _float0_like(kd))

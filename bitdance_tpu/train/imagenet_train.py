@@ -44,13 +44,21 @@ class ImageNetTrainConfig:
     max_grad_norm: float = 1.0
     ema_decay: float = 0.9999
     global_batch_size: int = 256
+    # bf16 autocast equivalent (imagenet_gen/train.py:347): params stay
+    # f32 in the optimizer (master weights), the forward/backward runs in
+    # bf16 — halves activation-residual HBM and doubles MXU rate
+    mixed_precision: bool = True
 
 
 def init_train_state(key: jax.Array, cfg: ImageNetARConfig,
                      tcfg: ImageNetTrainConfig):
     k1, k2, k3 = jax.random.split(key, 3)
     params = init_ar_params(k1, cfg)
-    head = make_head(cfg)
+    # head COMPUTE dtype follows mixed precision (flax modules compute in
+    # their dtype attr — casting stored f32 params alone is not enough);
+    # param storage stays f32 via flax's param_dtype default
+    head = make_head(cfg, dtype=jnp.bfloat16 if tcfg.mixed_precision
+                    else jnp.float32)
     if cfg.parallel_num > 1:
         d_t = jnp.zeros((2, cfg.parallel_num, cfg.token_dim))
         d_c = jnp.zeros((2, cfg.parallel_num, cfg.dim))
@@ -78,12 +86,19 @@ def make_tx(params, tcfg: ImageNetTrainConfig):
 def train_step(state: opt_lib.TrainState, latent_tokens: jax.Array,
                class_ids: jax.Array, rng: jax.Array, *,
                cfg: ImageNetARConfig, head: DiffHead, tx,
-               ema_decay: float) -> tuple[opt_lib.TrainState, dict]:
+               ema_decay: float,
+               mixed_precision: bool = True) -> tuple[opt_lib.TrainState, dict]:
     """One SPMD step over pre-encoded ±1 latent tokens."""
 
     def loss_fn(params):
+        tokens = latent_tokens
+        if mixed_precision:
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+            tokens = tokens.astype(jnp.bfloat16)
         return forward_train(params["ar"], head, params["head"], cfg,
-                             latent_tokens, class_ids, rng)
+                             tokens, class_ids, rng)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     gnorm = opt_lib.global_norm(grads)
@@ -131,7 +146,8 @@ def make_sharded_train_step(mesh, state, cfg: ImageNetARConfig,
     data_sh = batch_sharding(mesh)
     repl = NamedSharding(mesh, P())
     step_fn = functools.partial(train_step, cfg=cfg, head=head, tx=tx,
-                                ema_decay=tcfg.ema_decay)
+                                ema_decay=tcfg.ema_decay,
+                                mixed_precision=tcfg.mixed_precision)
     jitted = jax.jit(
         step_fn,
         in_shardings=(state_sh, data_sh, data_sh, repl),
