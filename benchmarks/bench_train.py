@@ -111,18 +111,22 @@ def bench_mllm(args):
         num_attention_heads=hidden // 64,
         num_key_value_heads=max(hidden // 128, 1), head_dim=64)
     p = 64
+    # live-kv bound from the hard data guarantee (longest packed document),
+    # NOT the budget: a 512px doc is ~1176 tokens -> 4 live 512-token kv
+    # tiles per 256-token q tile. Oversizing multiplies grid steps.
+    side = 32 if args.mllm_budget >= 2048 else 8
+    max_doc = 40 + side * side + p + 48
     cfg = MLLMConfig(
         llm=llm, z_channels=32, parallel_num=p, head_model_dim=hidden,
         head_num_blocks=6, head_num_adaln=2, pe_max_len=4096,
-        attn_max_live_kv=max(args.mllm_budget // 512 // 2, 3))
+        attn_max_live_kv=-(-max_doc // 512) + 1)
     tcfg = MLLMTrainConfig(lr=1e-5, warmup_steps=0, total_steps=1000)
 
     rng = np.random.default_rng(0)
     table = np.asarray(sincos_1d_table(hidden // 2, 64))
     samples = []
     # 512px images (32x32 latents = 1024 tokens) at real budgets; tiny 8x8
-    # images for smoke-scale budgets
-    side = 32 if args.mllm_budget >= 2048 else 8
+    # images for smoke-scale budgets (side set above with max_live_kv)
     per_sample = side * side + p + 48
     n_img = max((args.mllm_budget - 64) // per_sample, 1)
     for i in range(n_img):

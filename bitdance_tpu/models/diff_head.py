@@ -104,15 +104,18 @@ class TransBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mods):
+    def __call__(self, x, mods, train: bool = False):
         scale1, shift1, gate1, scale2, shift2, gate2 = mods
         norm1 = LayerNormAffine(self.channels, name="norm1")
         attn = WindowAttention(self.channels,
                                self.channels // self.attn_head_dim,
                                dtype=self.dtype, name="attn")
 
+        # the fused Pallas block is inference-only (no VJP); training takes
+        # the XLA path, which fuses well enough under value_and_grad
         fused_attn = (
-            jax.default_backend() == "tpu"
+            not train
+            and jax.default_backend() == "tpu"
             and x.ndim == 3
             and not self.is_initializing()
             and self.channels % 128 == 0
@@ -284,7 +287,7 @@ class DiffNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, c):
+    def __call__(self, x, t, c, train: bool = False):
         """x: noisy latents; t: [B]; c: conditioning (same leading dims as x)."""
         bounded = self.bounded_output
         if bounded is None:
@@ -314,7 +317,8 @@ class DiffNet(nn.Module):
             if self.attention:
                 h = TransBlock(self.model_channels, self.use_swiglu,
                                attn_head_dim=self.attn_head_dim,
-                               dtype=self.dtype, name=f"block_{i}")(h, mods)
+                               dtype=self.dtype, name=f"block_{i}")(
+                                   h, mods, train=train)
             else:
                 h = MlpResBlock(self.model_channels, dtype=self.dtype,
                                 name=f"block_{i}")(h, mods)
@@ -391,7 +395,7 @@ class DiffHead(nn.Module):
         z = (1.0 - ti) * e + ti * xf
         v = (xf - z) / jnp.maximum(1.0 - ti, 0.05)
 
-        x_pred = self.net(z.astype(self.dtype), t, cond)
+        x_pred = self.net(z.astype(self.dtype), t, cond, train=True)
         v_pred = (x_pred.astype(jnp.float32) - z) / jnp.maximum(1.0 - ti, 0.05)
         sq = jnp.square(v - v_pred)
         if self.per_token_loss and sq.ndim == 3:
