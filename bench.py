@@ -61,7 +61,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small shapes to smoke-test the bench path")
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--model", type=str, default="BitDance-B")
     ap.add_argument("--parallel", type=int, default=1)
     ap.add_argument("--sample-steps", type=int, default=100)
@@ -71,6 +71,10 @@ def main():
                     help="VAE decode chunk (model.py:378-387 decode_in_chunks)")
     ap.add_argument("--skip-t2i", action="store_true",
                     help="skip the T2I flagship measurements")
+    ap.add_argument("--kv-int8", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="int8 KV ring buffer (serving config; halves "
+                         "decode-attention HBM traffic and cache footprint)")
     args = ap.parse_args()
 
     # T2I measurements run first, in child processes, so the TPU is free
@@ -78,7 +82,11 @@ def main():
     t2i = t2i_14b = None
     if not (args.quick or args.skip_t2i):
         t2i = run_t2i_subprocess([])
-        t2i_14b = run_t2i_subprocess(["--real-14b", "--layers", "14"])
+        # int8 W8A8 serving config: TRUE 14B width at 28/40 layers, the
+        # single-chip maximum (bf16 stops at 13L); also the fastest
+        t2i_14b = run_t2i_subprocess(
+            ["--real-14b", "--layers", "28", "--quant-llm", "--quant-head"],
+            timeout_s=900)
 
     import jax
     import jax.numpy as jnp
@@ -138,7 +146,7 @@ def main():
     def run_sample(params, head_params, cls, rng):
         toks = sample(params, head, head_params, cfg, cls, rng,
                       num_sampling_steps=args.sample_steps,
-                      cfg_scale=args.cfg_scale)
+                      cfg_scale=args.cfg_scale, kv_int8=args.kv_int8)
         return tokens_to_grid(cfg, toks)
 
     @jax.jit
@@ -185,6 +193,9 @@ def main():
         # "published": {}), so the baseline is the last driver-recorded
         # round: a regression shows up as vs_baseline < 1.
         "vs_baseline": round(imgs_per_sec / prev, 4) if prev else 1.0,
+        "config": f"batch {args.batch}, bf16 model, "
+                  f"{'int8' if args.kv_int8 else 'bf16'} KV cache, "
+                  f"windowed decode attention",
     }
     if not (args.quick or args.skip_t2i):
         # flagship T2I: 1024px, p=64, 64 AR steps x 50 diffusion steps
@@ -194,7 +205,8 @@ def main():
         # layers is the single-chip 16GB maximum — full 14B needs tp>=4 or
         # int8 (benchmarks/bench_t2i.py MEMORY_PLAN)
         result["t2i_14b_geom_s_per_image"] = t2i_14b
-        result["t2i_14b_geom_config"] = "5120d LLM 14/40 layers + full 14B head"
+        result["t2i_14b_geom_config"] = (
+            "5120d LLM 28/40 layers + full 14B head, int8 W8A8")
     print(json.dumps(result))
     print(f"# batch={args.batch} steps={args.sample_steps} "
           f"best={best:.2f}s first(incl compile)={compile_and_first:.1f}s "

@@ -39,14 +39,16 @@ def main():
         patch_center_coords_2d(cfg.resolution, cfg.down_size), cfg.head_dim,
         cls_token_num=cfg.prefix_len)
 
-    @jax.jit
-    def backbone_chain(params, x0):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def backbone_chain(params, x0, window):
         cache = _init_cache(cfg, b2, jnp.bfloat16)
 
         def step(carry, i):
             x, cache = carry
             out, cache = _forward_cached(params, cfg, x, freqs[:1], cache,
-                                         jnp.int32(64), False)
+                                         jnp.int32(64), False, window=window)
             return (x + 1e-6 * out, cache), None
 
         (x, _), _ = jax.lax.scan(step, (x0, cache),
@@ -54,11 +56,16 @@ def main():
         return x
 
     x0 = jax.random.normal(jax.random.PRNGKey(3), (b2, 1, cfg.dim), jnp.bfloat16)
-    fence(backbone_chain(params, x0))
-    t0 = time.perf_counter()
-    fence(backbone_chain(params, x0))
-    t_backbone = (time.perf_counter() - t0) / 64
-    print(f"backbone decode step (24L, b{b2}): {t_backbone*1e3:7.2f} ms")
+    total = cfg.prefix_len + cfg.num_tokens
+    t_backbone = None
+    for window in (total, ((total // 2 + 7) // 8) * 8):
+        fence(backbone_chain(params, x0, window))
+        t0 = time.perf_counter()
+        fence(backbone_chain(params, x0, window))
+        dt = (time.perf_counter() - t0) / 64
+        t_backbone = dt if t_backbone is None else t_backbone
+        print(f"backbone decode step (24L, b{b2}, window {window}): "
+              f"{dt*1e3:7.2f} ms")
 
     # --- head: one 100-step EM sample, chained 4x ----------------------------
     @jax.jit

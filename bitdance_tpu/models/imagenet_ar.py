@@ -334,35 +334,75 @@ def forward_train(
 # KV-cached sampling
 # ---------------------------------------------------------------------------
 
-def _init_cache(cfg: ImageNetARConfig, batch: int, dtype=jnp.float32) -> dict:
+def _init_cache(cfg: ImageNetARConfig, batch: int, dtype=jnp.float32,
+                int8: bool = False) -> dict:
+    """Separate k/v ring buffers [L, B, len, H, D] (XLA picks the padded
+    layout it likes; a fused [k|v] buffer makes XLA's two split consumers —
+    scores reads k, output reads v — each stream the full double-width
+    buffer, 2x traffic, measured). int8 adds per-(position, head) scales."""
     total = cfg.prefix_len + cfg.num_tokens
-    shape = (cfg.n_layer, batch, total, cfg.n_head, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    # flattened [.., H*D] minor dim: a [.., H, 64] trailing dim invites a
+    # 2x lane-padded layout (observed for the int8 k buffer); H*D = 768 is
+    # lane-exact and the per-head view is a free bitcast-reshape
+    shape = (cfg.n_layer, batch, total, cfg.n_head * cfg.head_dim)
+    dt = jnp.int8 if int8 else dtype
+    cache = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+    if int8:
+        sshape = (cfg.n_layer, batch, total, cfg.n_head)
+        cache["ks"] = jnp.zeros(sshape, jnp.float32)
+        cache["vs"] = jnp.zeros(sshape, jnp.float32)
+    return cache
+
+
+def _quant_rows(x):
+    """[B, S, H, D] -> (int8 values, [B, S, H] f32 scales), symmetric."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
 
 
 def _forward_cached(params, cfg: ImageNetARConfig, x, freqs_slice, cache,
-                    cache_len, causal_block: bool):
-    """Cached block forward (layers.py:96-134 KV cache + naive attention)."""
+                    cache_len, causal_block: bool, window: int | None = None):
+    """Cached block forward (layers.py:96-134 KV cache + naive attention).
+
+    `window` is a STATIC prefix length: attention reads only cache[:window]
+    (the caller guarantees cache_len + s <= window). The sampler compiles a
+    few step variants at growing windows (segmented scans) — a `lax.switch`
+    over windows materializes its big operands, and a full-cache read is
+    ~2x the average live traffic (both measured slower).
+    """
     b, s, _ = x.shape
     nh, hd = cfg.n_head, cfg.head_dim
+    int8 = cache["k"].dtype == jnp.int8
     max_len = cache["k"].shape[2]
-    pos_idx = jnp.arange(max_len, dtype=jnp.int32)
+    window = max_len if window is None else min(window, max_len)
+
+    pos_idx = jnp.arange(window, dtype=jnp.int32)
     if causal_block:
         q_abs = cache_len + jnp.arange(s, dtype=jnp.int32)
         mask = pos_idx[None, None, :] <= q_abs[None, :, None]
-        mask = jnp.broadcast_to(mask, (b, s, max_len))[:, None]
+        mask = jnp.broadcast_to(mask, (b, s, window))[:, None]
     else:
         mask = pos_idx[None, :] < cache_len + s
-        mask = jnp.broadcast_to(mask, (b, max_len))[:, None, None, :]
+        mask = jnp.broadcast_to(mask, (b, window))[:, None, None, :]
 
     x = rms_norm(x, params["emb_norm"])
+
+    def win_slice(buf, li):
+        """This layer's [:window] prefix; static sizes, fuses into the
+        attention reads (only [:window] ever crosses HBM)."""
+        return jax.lax.dynamic_slice(
+            buf, (li,) + (0,) * (buf.ndim - 1),
+            (1, buf.shape[1], window) + buf.shape[3:])[0]
 
     # The stacked caches ride in the scan CARRY (not xs/ys): carry buffers
     # alias across iterations, so the per-layer dynamic_update_slice writes
     # in place instead of copying the full multi-GB cache every decode step
     # (xs->ys pairs cannot alias). This was 76% of the sampling step time.
     def layer(carry, scanned):
-        xx, k_all, v_all, li = carry
+        xx, k_all, v_all, ks_all, vs_all, li = carry
         lp = scanned
         h = rms_norm(xx, lp["attention_norm"])
         qkv = h @ lp["wqkv"]
@@ -370,25 +410,44 @@ def _forward_cached(params, cfg: ImageNetARConfig, x, freqs_slice, cache,
         q = apply_rope_paired(q.reshape(b, s, nh, hd), freqs_slice)
         k = apply_rope_paired(k.reshape(b, s, nh, hd), freqs_slice)
         v = v.reshape(b, s, nh, hd)
+        if int8:
+            k, ks = _quant_rows(k)
+            v, vs = _quant_rows(v)
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, ks[None], (li, 0, cache_len, 0))
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, vs[None], (li, 0, cache_len, 0))
         k_all = jax.lax.dynamic_update_slice(
-            k_all, k.astype(k_all.dtype)[None], (li, 0, cache_len, 0, 0))
+            k_all, k.astype(k_all.dtype).reshape(b, s, nh * hd)[None],
+            (li, 0, cache_len, 0))
         v_all = jax.lax.dynamic_update_slice(
-            v_all, v.astype(v_all.dtype)[None], (li, 0, cache_len, 0, 0))
-        k_cache = jax.lax.dynamic_slice(
-            k_all, (li, 0, 0, 0, 0), (1,) + k_all.shape[1:])[0]
-        v_cache = jax.lax.dynamic_slice(
-            v_all, (li, 0, 0, 0, 0), (1,) + v_all.shape[1:])[0]
+            v_all, v.astype(v_all.dtype).reshape(b, s, nh * hd)[None],
+            (li, 0, cache_len, 0))
+        k_cache = win_slice(k_all, li).reshape(b, window, nh, hd)
+        v_cache = win_slice(v_all, li).reshape(b, window, nh, hd)
+        if int8:
+            k_cache = k_cache.astype(jnp.float32) \
+                * win_slice(ks_all, li)[..., None]
+            v_cache = v_cache.astype(jnp.float32) \
+                * win_slice(vs_all, li)[..., None]
         attn = attention_xla(q, k_cache, v_cache, mask)
-        xx = xx + attn.reshape(b, s, -1) @ lp["wo"]
+        xx = xx + attn.astype(xx.dtype).reshape(b, s, -1) @ lp["wo"]
         h = rms_norm(xx, lp["ffn_norm"])
         h1, h2 = jnp.split(h @ lp["ffn_w1"], 2, axis=-1)
         xx = xx + (jax.nn.silu(h1) * h2) @ lp["ffn_w2"]
-        return (xx, k_all, v_all, li + 1), None
+        return (xx, k_all, v_all, ks_all, vs_all, li + 1), None
 
-    (x, nk, nv, _), _ = jax.lax.scan(
-        layer, (x, cache["k"], cache["v"], jnp.int32(0)), params["layers"])
+    zero = jnp.zeros((), jnp.float32)
+    carry0 = (x, cache["k"], cache["v"],
+              cache.get("ks", zero), cache.get("vs", zero), jnp.int32(0))
+    (x, nk, nv, nks, nvs, _), _ = jax.lax.scan(
+        layer, carry0, params["layers"])
     x = rms_norm(x, params["norm"])
-    return x, {"k": nk, "v": nv}
+    new_cache = {"k": nk, "v": nv}
+    if int8:
+        new_cache["ks"] = nks
+        new_cache["vs"] = nvs
+    return x, new_cache
 
 
 def sample(
@@ -401,8 +460,13 @@ def sample(
     num_sampling_steps: int = 100,
     cfg_scale: float = 1.0,
     cfg_schedule: str = "linear",
+    kv_int8: bool = False,
 ) -> jax.Array:
-    """Generate ±1 latent tokens [B, num_tokens, token_dim] (model.py:337-376)."""
+    """Generate ±1 latent tokens [B, num_tokens, token_dim] (model.py:337-376).
+
+    kv_int8 stores the KV ring buffer as int8 with per-(head, position)
+    scales — halves decode-attention HBM traffic and cache footprint
+    (a serving-side choice; bf16 is bit-compatible with training)."""
     use_cfg = cfg_scale > 1.0
     cfg_mult = 2 if use_cfg else 1
     if use_cfg:
@@ -430,7 +494,7 @@ def sample(
 
     c = jnp.take(params["cls_embedding"], cond, axis=0).reshape(
         b2, cfg.cls_token_num, cfg.dim)
-    cache = _init_cache(cfg, b2, dtype=c.dtype)
+    cache = _init_cache(cfg, b2, dtype=c.dtype, int8=kv_int8)
 
     # pre-stack head weights for the fused TPU sampler OUTSIDE the AR scan
     from bitdance_tpu.models.diff_head import make_fused_sampler
@@ -456,43 +520,65 @@ def sample(
 
     # prefill: cls tokens (+ query tokens), causal for all but the last
     # parallel window which is bidirectional (model_parallel.py:388)
+    pre_w = max(((cfg.prefix_len + 7) // 8) * 8, 8)
     if p > 1:
         q = jnp.broadcast_to(params["query_token"][None], (b2, p - 1, cfg.dim))
         prefix = jnp.concatenate([c, q], axis=1)
         ncausal = cfg.cls_token_num - 1
         _, cache = _forward_cached(params, cfg, prefix[:, :ncausal],
-                                   freqs[:ncausal], cache, jnp.int32(0), True)
+                                   freqs[:ncausal], cache, jnp.int32(0), True,
+                                   window=pre_w)
         x, cache = _forward_cached(params, cfg, prefix[:, ncausal:],
                                    freqs[ncausal: cfg.prefix_len], cache,
-                                   jnp.int32(ncausal), False)
+                                   jnp.int32(ncausal), False, window=pre_w)
     else:
         x, cache = _forward_cached(params, cfg, c, freqs[: cfg.cls_token_num],
-                                   cache, jnp.int32(0), True)
+                                   cache, jnp.int32(0), True, window=pre_w)
         x = x[:, -1:]
 
     key0, kscan = jax.random.split(rng)
     first = head_sample(x[:, -p:], jnp.int32(0), key0)
 
-    def step_fn(carry, step):
-        cache, last_pred, key = carry
-        key, k1 = jax.random.split(key)
-        emb = proj_in(params, last_pred)
-        emb = jnp.concatenate([emb] * cfg_mult, axis=0)
-        start = cfg.prefix_len + (step - 1) * p
-        fslice = jax.lax.dynamic_slice(
-            freqs, (start, 0, 0), (p, freqs.shape[1], freqs.shape[2]))
-        # decode windows attend all cached context + themselves bidirectionally
-        x, cache = _forward_cached(params, cfg, emb, fslice, cache, start,
-                                   causal_block=False)
-        if p == 1:
-            x = x[:, -1:]
-        pred = head_sample(x[:, -p:], step, k1)
-        return (cache, pred, key), pred
+    def make_step_fn(window: int):
+        def step_fn(carry, step):
+            cache, last_pred, key = carry
+            key, k1 = jax.random.split(key)
+            emb = proj_in(params, last_pred)
+            emb = jnp.concatenate([emb] * cfg_mult, axis=0)
+            start = cfg.prefix_len + (step - 1) * p
+            fslice = jax.lax.dynamic_slice(
+                freqs, (start, 0, 0), (p, freqs.shape[1], freqs.shape[2]))
+            # decode windows attend all cached context + themselves
+            # bidirectionally
+            x, cache = _forward_cached(params, cfg, emb, fslice, cache, start,
+                                       causal_block=False, window=window)
+            if p == 1:
+                x = x[:, -1:]
+            pred = head_sample(x[:, -p:], step, k1)
+            return (cache, pred, key), pred
 
-    _, rest = jax.lax.scan(
-        step_fn, (cache, first, kscan),
-        jnp.arange(1, num_steps, dtype=jnp.int32))
-    all_preds = jnp.concatenate([first[None], rest], axis=0)
+        return step_fn
+
+    # Segmented AR scan: each segment's step compiles with a STATIC
+    # attention window, so early steps never read (or pay HBM traffic for)
+    # the dead tail of the ring buffer — the full-cache read was the
+    # dominant backbone cost. 4 segments ~ 1.6x less cache traffic.
+    n_seg = 4 if num_steps >= 8 else 1
+    carry = (cache, first, kscan)
+    rest_chunks = []
+    prev = 1
+    for i in range(1, n_seg + 1):
+        end = 1 + (num_steps - 1) * i // n_seg
+        if end <= prev:
+            continue
+        window = min((((cfg.prefix_len + (end - 1) * p) + 7) // 8) * 8,
+                     cfg.prefix_len + cfg.num_tokens)
+        carry, ys = jax.lax.scan(
+            make_step_fn(window), carry,
+            jnp.arange(prev, end, dtype=jnp.int32))
+        rest_chunks.append(ys)
+        prev = end
+    all_preds = jnp.concatenate([first[None]] + rest_chunks, axis=0)
     # [num_steps, n, p, token_dim] -> [n, num_tokens, token_dim]
     out = jnp.transpose(all_preds, (1, 0, 2, 3)).reshape(
         n, cfg.num_tokens, cfg.token_dim)
