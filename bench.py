@@ -75,6 +75,12 @@ def main():
                     default=True,
                     help="int8 KV ring buffer (serving config; halves "
                          "decode-attention HBM traffic and cache footprint)")
+    ap.add_argument("--head-int8", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="int8 weight-only quantized fused head sampler "
+                         "(no measured win for the 768-wide imagenet head, "
+                         "whose EM loop is compute-bound at 512 rows; the "
+                         "5120-wide T2I head is weight-bound and does win)")
     args = ap.parse_args()
 
     # T2I measurements run first, in child processes, so the TPU is free
@@ -122,7 +128,8 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = init_ar_params(key, cfg, dtype=jnp.bfloat16)
-    head = make_head(cfg, dtype=jnp.bfloat16)
+    head = make_head(cfg, dtype=jnp.bfloat16,
+                     sample_weight_quant=args.head_int8)
     if cfg.parallel_num > 1:
         d_t = jnp.zeros((2, cfg.parallel_num, cfg.token_dim))
         d_c = jnp.zeros((2, cfg.parallel_num, cfg.dim))
@@ -131,6 +138,15 @@ def main():
         d_c = jnp.zeros((2, cfg.dim))
     head_params = jax.jit(head.init)(jax.random.PRNGKey(1), d_t, d_c,
                                      jax.random.PRNGKey(2))
+    # stack (+quantize) head weights OUTSIDE the sampling jit: traced
+    # inside, XLA can rematerialize the chain into the AR scan bodies and
+    # re-quantize every step (measured 4x slower)
+    from bitdance_tpu.models.diff_head import DiffHead
+    head_stacked = None
+    if jax.default_backend() == "tpu":
+        head_stacked = jax.jit(
+            lambda hp: head.apply(hp, method=DiffHead._stack_for_sampler)
+        )(head_params)
     lat_hw = cfg.resolution // cfg.down_size
     ae_params = jax.jit(
         lambda k, z: ae.init(k, z, method=VQModel.decode)
@@ -143,10 +159,11 @@ def main():
     # request hundreds of MB (the remote-compile service rejects it with
     # HTTP 413). Two separate programs also keep each graph small.
     @jax.jit
-    def run_sample(params, head_params, cls, rng):
+    def run_sample(params, head_params, head_stacked, cls, rng):
         toks = sample(params, head, head_params, cfg, cls, rng,
                       num_sampling_steps=args.sample_steps,
-                      cfg_scale=args.cfg_scale, kv_int8=args.kv_int8)
+                      cfg_scale=args.cfg_scale, kv_int8=args.kv_int8,
+                      head_stacked=head_stacked)
         return tokens_to_grid(cfg, toks)
 
     @jax.jit
@@ -156,7 +173,7 @@ def main():
     chunk = min(args.decode_chunk, args.batch)
 
     def run(rng):
-        grid = run_sample(params, head_params, cls, rng)
+        grid = run_sample(params, head_params, head_stacked, cls, rng)
         outs = [run_decode(ae_params, grid[i: i + chunk])
                 for i in range(0, args.batch, chunk)]
         return jnp.concatenate(outs, axis=0)
@@ -195,7 +212,8 @@ def main():
         "vs_baseline": round(imgs_per_sec / prev, 4) if prev else 1.0,
         "config": f"batch {args.batch}, bf16 model, "
                   f"{'int8' if args.kv_int8 else 'bf16'} KV cache, "
-                  f"windowed decode attention",
+                  f"{'int8' if args.head_int8 else 'bf16'} head sampler "
+                  f"weights, windowed decode attention",
     }
     if not (args.quick or args.skip_t2i):
         # flagship T2I: 1024px, p=64, 64 AR steps x 50 diffusion steps

@@ -127,10 +127,16 @@ IMAGENET_MODELS = {"BitDance-B": config_b, "BitDance-L": config_l,
                    "BitDance-H": config_h, "BitDance-S": config_s}
 
 
-def make_head(cfg: ImageNetARConfig, dtype: Any = jnp.float32) -> DiffHead:
-    """The diffusion head module (MlpEncoder for 1x, TransEncoder for Nx)."""
+def make_head(cfg: ImageNetARConfig, dtype: Any = jnp.float32,
+              sample_weight_quant: bool = False) -> DiffHead:
+    """The diffusion head module (MlpEncoder for 1x, TransEncoder for Nx).
+
+    sample_weight_quant: int8 weight-only quantization inside the fused
+    sampler — the EM loop is HBM-bound on block weights (100 net calls per
+    AR step), so this roughly halves head sampling time."""
     parallel = cfg.parallel_num > 1
     return DiffHead(
+        sample_weight_quant=sample_weight_quant,
         ch_target=cfg.token_dim,
         ch_cond=cfg.dim,
         ch_latent=cfg.diff_dim,
@@ -461,6 +467,7 @@ def sample(
     cfg_scale: float = 1.0,
     cfg_schedule: str = "linear",
     kv_int8: bool = False,
+    head_stacked: dict | None = None,
 ) -> jax.Array:
     """Generate ±1 latent tokens [B, num_tokens, token_dim] (model.py:337-376).
 
@@ -496,10 +503,15 @@ def sample(
         b2, cfg.cls_token_num, cfg.dim)
     cache = _init_cache(cfg, b2, dtype=c.dtype, int8=kv_int8)
 
-    # pre-stack head weights for the fused TPU sampler OUTSIDE the AR scan
+    # pre-stack head weights for the fused TPU sampler OUTSIDE the AR scan.
+    # Callers should pass head_stacked built OUTSIDE jit (see
+    # DiffHead._stack_for_sampler): when the stack/quantize chain is traced
+    # into this program, XLA can rematerialize it into the scan bodies and
+    # re-quantize the head weights every AR step (measured 4x slower).
     from bitdance_tpu.models.diff_head import make_fused_sampler
 
-    head_sampler = make_fused_sampler(head, head_params)
+    head_sampler = make_fused_sampler(head, head_params,
+                                      stacked=head_stacked)
 
     def head_sample(x, step, key):
         """x: [B2, p, dim]; step: traced position index."""
