@@ -347,10 +347,11 @@ def _init_cache(cfg: ImageNetARConfig, batch: int, dtype=jnp.float32,
     scores reads k, output reads v — each stream the full double-width
     buffer, 2x traffic, measured). int8 adds per-(position, head) scales."""
     total = cfg.prefix_len + cfg.num_tokens
-    # flattened [.., H*D] minor dim: a [.., H, 64] trailing dim invites a
-    # 2x lane-padded layout (observed for the int8 k buffer); H*D = 768 is
-    # lane-exact and the per-head view is a free bitcast-reshape
-    shape = (cfg.n_layer, batch, total, cfg.n_head * cfg.head_dim)
+    # 5-D [.., len, H, D]: XLA picks a len-minor layout (1.2x padded) that
+    # reads fast. A flattened [.., len, H*D] buffer avoids the padding but
+    # the per-head attention reads ran 4.5x slower (measured) — do not
+    # "fix" the padding that way again.
+    shape = (cfg.n_layer, batch, total, cfg.n_head, cfg.head_dim)
     dt = jnp.int8 if int8 else dtype
     cache = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
     if int8:
@@ -424,13 +425,11 @@ def _forward_cached(params, cfg: ImageNetARConfig, x, freqs_slice, cache,
             vs_all = jax.lax.dynamic_update_slice(
                 vs_all, vs[None], (li, 0, cache_len, 0))
         k_all = jax.lax.dynamic_update_slice(
-            k_all, k.astype(k_all.dtype).reshape(b, s, nh * hd)[None],
-            (li, 0, cache_len, 0))
+            k_all, k.astype(k_all.dtype)[None], (li, 0, cache_len, 0, 0))
         v_all = jax.lax.dynamic_update_slice(
-            v_all, v.astype(v_all.dtype).reshape(b, s, nh * hd)[None],
-            (li, 0, cache_len, 0))
-        k_cache = win_slice(k_all, li).reshape(b, window, nh, hd)
-        v_cache = win_slice(v_all, li).reshape(b, window, nh, hd)
+            v_all, v.astype(v_all.dtype)[None], (li, 0, cache_len, 0, 0))
+        k_cache = win_slice(k_all, li)
+        v_cache = win_slice(v_all, li)
         if int8:
             k_cache = k_cache.astype(jnp.float32) \
                 * win_slice(ks_all, li)[..., None]
