@@ -91,8 +91,9 @@ def main():
         # int8 W8A8 serving config: TRUE 14B width at 28/40 layers, the
         # single-chip maximum (bf16 stops at 13L); also the fastest
         t2i_14b = run_t2i_subprocess(
-            ["--real-14b", "--layers", "28", "--quant-llm", "--quant-head"],
-            timeout_s=900)
+            ["--real-14b", "--layers", "28", "--quant-llm", "--quant-head",
+             "--kv-int8", "--images", "2"],
+            timeout_s=1200)
 
     import jax
     import jax.numpy as jnp
@@ -224,7 +225,8 @@ def main():
         # int8 (benchmarks/bench_t2i.py MEMORY_PLAN)
         result["t2i_14b_geom_s_per_image"] = t2i_14b
         result["t2i_14b_geom_config"] = (
-            "5120d LLM 28/40 layers + full 14B head, int8 W8A8")
+            "5120d LLM 28/40 layers + full 14B head, int8 W8A8, "
+            "int8 KV cache, 2-image batch")
     print(json.dumps(result))
     print(f"# batch={args.batch} steps={args.sample_steps} "
           f"best={best:.2f}s first(incl compile)={compile_and_first:.1f}s "

@@ -64,6 +64,9 @@ def main():
                          "in this file.")
     ap.add_argument("--quant-head", action="store_true",
                     help="int8 weight-only quantized fused head sampler")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="fused int8 KV ring buffer (4x smaller than bf16 "
+                         "k+v; enables multi-image 14B batches)")
     ap.add_argument("--quant-llm", action="store_true",
                     help="int8 W8A8 LLM matmuls (ops/int8.py): halves "
                          "weight HBM traffic and doubles the single-chip "
@@ -146,7 +149,8 @@ def main():
         head=head, head_params=hp, projector=proj, projector_params=pp,
         parallel_num=p, hidden_size=hidden, vae_patch_size=16,
         pe_max_len=4096, head_stacked=stacked_head)
-    pipe = T2IPipeline(bundle, tokenizer=_StubTokenizer(p))
+    pipe = T2IPipeline(bundle, tokenizer=_StubTokenizer(p),
+                       kv_int8=args.kv_int8)
 
     t0 = time.time()
     pipe.generate("warmup prompt", args.height, width, args.steps, args.cfg,
@@ -162,6 +166,7 @@ def main():
     num_steps = (args.height // 16) * (width // 16) // p
     tag = " REAL-14B-GEOM" if args.real_14b else ""
     tag += " int8-llm" if args.quant_llm else ""
+    tag += " int8-kv" if args.kv_int8 else ""
     print(f"{args.height}x{width} p={p} ({num_steps} AR steps x {args.steps} "
           f"diff steps), llm {args.layers}L/{hidden}d{tag}: "
           f"{best:.2f} s/image ({1.0/best:.3f} img/s) "

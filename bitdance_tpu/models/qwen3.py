@@ -158,12 +158,23 @@ def init_qwen3_params_int8(key: jax.Array, cfg: Qwen3Config,
 
 
 def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int,
-                  dtype: Any = jnp.float32) -> dict:
+                  dtype: Any = jnp.float32, int8: bool = False) -> dict:
     """HEAD-MAJOR ring buffers [L, B, Hkv, max_len, D] — kv tiles then map
     directly onto Mosaic's (sublane, lane) tiling in the flash-decode kernel
-    with zero transposes in the hot loop."""
-    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads,
-             max_len, cfg.head_dim)
+    with zero transposes in the hot loop.
+
+    int8=True fuses k|v into ONE [.., max_len, 2D] int8 buffer with
+    per-(head, position) scales (ops/decode_attention.py::quantize_kv_rows)
+    — 4x smaller than two bf16 buffers and the decode kernel reads both
+    halves of each tile in a single pass."""
+    L, H = cfg.num_hidden_layers, cfg.num_key_value_heads
+    if int8:
+        return {
+            "kv": jnp.zeros((L, batch, H, max_len, 2 * cfg.head_dim),
+                            jnp.int8),
+            "sc": jnp.zeros((L, batch, H, 2, max_len), jnp.float32),
+        }
+    shape = (L, batch, H, max_len, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -278,7 +289,8 @@ def qwen3_forward_cached(
     """
     b, s, _ = embeds.shape
     hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    max_len = cache["k"].shape[3]
+    int8_cache = "kv" in cache
+    max_len = (cache["kv"] if int8_cache else cache["k"]).shape[3]
     cos, sin = _rope_at(cfg, positions)
 
     new_len = cache_len + s
@@ -299,7 +311,7 @@ def qwen3_forward_cached(
     # cannot alias and were copying the full cache each decode step (this
     # was the dominant cost of the sampling loop).
     def layer(carry, lp):
-        x, k_all, v_all, li = carry
+        x, buf_a, buf_b, li = carry
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q = rms_norm(mm(h, lp["q_proj"]).reshape(b, s, hq, hd), lp["q_norm"],
                      cfg.rms_norm_eps)
@@ -308,33 +320,63 @@ def qwen3_forward_cached(
         v = mm(h, lp["v_proj"]).reshape(b, s, hkv, hd)
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
-        k_hm = jnp.transpose(k, (0, 2, 1, 3)).astype(k_all.dtype)
-        v_hm = jnp.transpose(v, (0, 2, 1, 3)).astype(v_all.dtype)
-        k_all = jax.lax.dynamic_update_slice(k_all, k_hm[None],
-                                             (li, 0, 0, cache_len, 0))
-        v_all = jax.lax.dynamic_update_slice(v_all, v_hm[None],
-                                             (li, 0, 0, cache_len, 0))
-        k_cache = jax.lax.dynamic_slice(
-            k_all, (li, 0, 0, 0, 0), (1,) + k_all.shape[1:])[0]
-        v_cache = jax.lax.dynamic_slice(
-            v_all, (li, 0, 0, 0, 0), (1,) + v_all.shape[1:])[0]
-        if causal_block:
-            attn = attention_xla(q, jnp.transpose(k_cache, (0, 2, 1, 3)),
-                                 jnp.transpose(v_cache, (0, 2, 1, 3)), mask)
+
+        def layer_slice(buf):
+            return jax.lax.dynamic_slice(
+                buf, (li,) + (0,) * (buf.ndim - 1), (1,) + buf.shape[1:])[0]
+
+        if int8_cache:
+            from bitdance_tpu.ops.decode_attention import (
+                dequantize_fused_kv,
+                quantize_kv_rows,
+                windowed_decode_attention_fusedkv,
+            )
+
+            kv_new, sc_new = quantize_kv_rows(k, v)      # [B,H,s,2D]/[B,H,2,s]
+            buf_a = jax.lax.dynamic_update_slice(
+                buf_a, kv_new[None], (li, 0, 0, cache_len, 0))
+            buf_b = jax.lax.dynamic_update_slice(
+                buf_b, sc_new[None], (li, 0, 0, 0, cache_len))
+            kv_l = layer_slice(buf_a)
+            sc_l = layer_slice(buf_b)
+            if causal_block:
+                kd, vd = dequantize_fused_kv(kv_l, sc_l)
+                attn = attention_xla(
+                    q, jnp.transpose(kd, (0, 2, 1, 3)).astype(q.dtype),
+                    jnp.transpose(vd, (0, 2, 1, 3)).astype(q.dtype), mask)
+            else:
+                attn = windowed_decode_attention_fusedkv(
+                    q, kv_l, kv_len_vec, kv_start, sc_l)
         else:
-            # bidirectional decode window: flash-decode Pallas kernel on TPU
-            attn = windowed_decode_attention(q, k_cache, v_cache,
-                                             kv_len_vec, kv_start)
-        x = x + mm(attn.reshape(b, s, hq * hd), lp["o_proj"])
+            k_hm = jnp.transpose(k, (0, 2, 1, 3)).astype(buf_a.dtype)
+            v_hm = jnp.transpose(v, (0, 2, 1, 3)).astype(buf_b.dtype)
+            buf_a = jax.lax.dynamic_update_slice(buf_a, k_hm[None],
+                                                 (li, 0, 0, cache_len, 0))
+            buf_b = jax.lax.dynamic_update_slice(buf_b, v_hm[None],
+                                                 (li, 0, 0, cache_len, 0))
+            k_cache = layer_slice(buf_a)
+            v_cache = layer_slice(buf_b)
+            if causal_block:
+                attn = attention_xla(q, jnp.transpose(k_cache, (0, 2, 1, 3)),
+                                     jnp.transpose(v_cache, (0, 2, 1, 3)),
+                                     mask)
+            else:
+                # bidirectional decode window: flash-decode Pallas kernel
+                attn = windowed_decode_attention(q, k_cache, v_cache,
+                                                 kv_len_vec, kv_start)
+        x = x + mm(attn.astype(x.dtype).reshape(b, s, hq * hd), lp["o_proj"])
         h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(lp, h)
-        return (x, k_all, v_all, li + 1), None
+        return (x, buf_a, buf_b, li + 1), None
 
-    (x, new_k, new_v, _), _ = jax.lax.scan(
-        layer, (embeds, cache["k"], cache["v"], jnp.int32(0)),
-        params["layers"])
+    bufs = (cache["kv"], cache["sc"]) if int8_cache \
+        else (cache["k"], cache["v"])
+    (x, new_a, new_b, _), _ = jax.lax.scan(
+        layer, (embeds,) + bufs + (jnp.int32(0),), params["layers"])
     hidden = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return hidden, {"k": new_k, "v": new_v}
+    if int8_cache:
+        return hidden, {"kv": new_a, "sc": new_b}
+    return hidden, {"k": new_a, "v": new_b}
 
 
 def embed_tokens(params: dict, token_ids: jax.Array) -> jax.Array:

@@ -84,6 +84,7 @@ def generate_tokens(
     num_images: int,
     guidance_scale: jax.Array | float,
     num_sampling_steps: int,
+    kv_int8: bool = False,
 ) -> jax.Array:
     """Run prefill + AR decode; returns ±1 tokens [n, h*w, z_channels].
 
@@ -108,7 +109,10 @@ def generate_tokens(
     idx = jnp.arange(P + 2 + p, dtype=jnp.int32)[None]
     positions = jnp.maximum(idx - prompt_pad[:, None], 0)
 
-    cache = q3.init_kv_cache(cfg, n2, cache_max, dtype=prompt_emb.dtype)
+    # kv_int8: fused int8 ring buffer — 4x smaller than bf16 k+v (the
+    # decisive HBM saving for >=2-image batches at 14B width)
+    cache = q3.init_kv_cache(cfg, n2, cache_max, dtype=prompt_emb.dtype,
+                             int8=kv_int8)
     kv_start = prompt_pad
 
     # ---- prefill pass 1: causal over [prompt, vision_start, res_h] --------
@@ -182,9 +186,11 @@ class T2IPipeline:
 
     PROMPT_BUCKETS = (64, 128, 256, 512)
 
-    def __init__(self, bundle: T2IModelBundle, tokenizer=None):
+    def __init__(self, bundle: T2IModelBundle, tokenizer=None,
+                 kv_int8: bool = False):
         self.bundle = bundle
         self.tokenizer = tokenizer
+        self.kv_int8 = kv_int8
         self.pos_table = build_pos_table(bundle)
         self._jitted = {}
 
@@ -209,7 +215,8 @@ class T2IPipeline:
                 return generate_tokens(
                     b, prompt_ids, prompt_pad, start_ids, pe, rng,
                     latent_h=latent_h, latent_w=latent_w, num_images=n,
-                    guidance_scale=cfg_scale, num_sampling_steps=steps)
+                    guidance_scale=cfg_scale, num_sampling_steps=steps,
+                    kv_int8=self.kv_int8)
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -276,6 +283,13 @@ class T2IPipeline:
             jnp.float32(guidance_scale),
             jax.random.PRNGKey(seed),
         )
-        img = self._decode_compiled(latent_h, latent_w)(b.ae_params, tokens)
-        img = np.asarray(jnp.clip(127.5 * img.astype(jnp.float32) + 128.0, 0, 255))
-        return img.astype(np.uint8)
+        # decode one image at a time: at 1024px the decoder's NHWC feature
+        # maps are GBs per image, and with 14B weights resident a batched
+        # decode OOMs where generation itself fits
+        dec = self._decode_compiled(latent_h, latent_w)
+        imgs = []
+        for i in range(tokens.shape[0]):
+            img = dec(b.ae_params, tokens[i: i + 1])
+            imgs.append(np.asarray(
+                jnp.clip(127.5 * img.astype(jnp.float32) + 128.0, 0, 255)))
+        return np.concatenate(imgs, axis=0).astype(np.uint8)

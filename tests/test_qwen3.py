@@ -154,3 +154,35 @@ def test_left_padded_batch_matches_unpadded():
     np.testing.assert_allclose(
         np.asarray(got[:, pad:]), np.asarray(want), rtol=1e-4, atol=1e-4
     )
+
+
+def test_int8_kv_cache_close_to_bf16():
+    """Fused int8 ring buffer: prefill + block decode stays close to the
+    f32-cache path (per-(head, position) scales, ~1e-2 relative)."""
+    cfg = _tiny()
+    params = init_qwen3_params(jax.random.PRNGKey(0), cfg)
+    P, S = 12, 4
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, P + S), 0,
+                             cfg.vocab_size)
+    x = embed_tokens(params, ids)
+    pos = jnp.tile(jnp.arange(P + S)[None], (2, 1))
+    kv_start = jnp.zeros((2,), jnp.int32)
+
+    outs = {}
+    for name, int8 in (("f32", False), ("int8", True)):
+        cache = init_kv_cache(cfg, 2, 32, int8=int8)
+        h1, cache = qwen3_forward_cached(
+            params, cfg, x[:, :P], pos[:, :P], cache, jnp.int32(0),
+            kv_start, True)
+        h2, cache = qwen3_forward_cached(
+            params, cfg, x[:, P:], pos[:, P:], cache, jnp.int32(P),
+            kv_start, False)
+        outs[name] = jnp.concatenate([h1, h2], axis=1)
+        if int8:
+            assert cache["kv"].dtype == jnp.int8
+            assert cache["sc"].shape == (cfg.num_hidden_layers, 2,
+                                         cfg.num_key_value_heads, 2, 32)
+    ref = np.asarray(outs["f32"])
+    got = np.asarray(outs["int8"])
+    denom = np.maximum(np.abs(ref), 1.0)
+    assert np.max(np.abs(got - ref) / denom) < 0.05
