@@ -508,7 +508,6 @@ def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,
     t_all = time_shift(t_all, head.time_shift).astype(jnp.float32)
     dt_all = jnp.concatenate(
         [t_all[1:] - t_all[:-1], jnp.zeros((1,), jnp.float32)])
-    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=mods_dtype)
 
     k0, kn = jax.random.split(rng)
     x0 = jax.random.normal(k0, (half, head.ch_target), jnp.float32)
@@ -517,14 +516,32 @@ def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,
 
     bounded = (head.bounded_output if head.bounded_output is not None
                else head.attention)
-    sampler = fused_em_sample if use_kernel else em_sample_stacked
-    out = sampler(
-        stacked, x0, noise, allmods, t_all, dt_all,
-        jnp.asarray(cfg, jnp.float32),
+    common = dict(
         num_blocks=head.depth_latent, num_ada=head.depth_adanln,
         n_head=head.ch_latent // head.attn_head_dim, groups=g_all,
         attention=head.attention, bounded=bounded,
         last_step_size=last_step)
+    cfg_arr = jnp.asarray(cfg, jnp.float32)
+    if use_kernel:
+        allmods = em_precompute(stacked, c_emb, t_all, out_dtype=mods_dtype)
+        out = fused_em_sample(stacked, x0, noise, allmods, t_all, dt_all,
+                              cfg_arr, **common)
+    else:
+        # chunk the precomputed-mods buffer when it would be large (GBs at
+        # 14B width with multi-image batches); divisor-of-S chunks keep the
+        # scans rectangular
+        width = stacked["modcat_w"].shape[1]
+        mods_bytes = (num_sampling_steps + 1) * rows * width \
+            * jnp.dtype(mods_dtype).itemsize
+        mods_chunks = 1
+        for d in (2, 5, 10, 25):
+            if mods_bytes // mods_chunks <= 256 * 1024 * 1024:
+                break
+            if num_sampling_steps % d == 0:
+                mods_chunks = d
+        out = em_sample_stacked(
+            stacked, x0, noise, None, t_all, dt_all, cfg_arr,
+            c_emb=c_emb, mods_chunks=mods_chunks, **common)
     if head.attention:
         return out.reshape(g_all // 2, w, head.ch_target)
     return out

@@ -622,7 +622,7 @@ def em_sample_stacked(
     stacked: dict,
     x0: jax.Array,
     noise: jax.Array,
-    allmods: jax.Array,
+    allmods: jax.Array | None,
     t_all: jax.Array,
     dt_all: jax.Array,
     cfg: jax.Array,
@@ -634,6 +634,8 @@ def em_sample_stacked(
     attention: bool = True,
     bounded: bool = True,
     last_step_size: float = 0.05,
+    c_emb: jax.Array | None = None,
+    mods_chunks: int = 1,
 ) -> jax.Array:
     """XLA twin of fused_em_sample for widths whose per-block weights exceed
     VMEM (fused_net_available False — e.g. the 5120-wide 14B head, whose w1
@@ -644,6 +646,12 @@ def em_sample_stacked(
     MXU's s8 path — at 5120 width the sampler is matmul-COMPUTE-bound
     (6.07 ms/net-call flax vs a 5.7 ms bf16 matmul roofline), so the int8
     rate is the remaining single-chip lever.
+
+    mods_chunks > 1 (requires `c_emb` and mods_chunks | num_steps) computes
+    the precomputed mods in chunks INSIDE the sampling scan instead of one
+    [S, R, W] buffer up front: the buffer is GBs at 14B width with multi-
+    image batches (1.9GB at 2 images), and chunking trades ~one extra read
+    of the ada projections per chunk (~0.7ms) for 1/chunks the residency.
     """
     num_steps = noise.shape[0]
     switch_freq = max(1, num_blocks // num_ada)
@@ -698,25 +706,58 @@ def em_sample_stacked(
             out = 2.0 * jax.nn.sigmoid(out) - 1.0
         return out                                           # [R, ch]
 
-    def vc_at(x, s):
-        out = net_forward(x, allmods[s])
-        t = t_all[s]
+    def vc_from(x, mods_row, t):
+        out = net_forward(x, mods_row)
         combined = jnp.concatenate([x, x], axis=0)
         v = (out - combined) / jnp.maximum(1.0 - t, 0.05)
-        return v[:half] * cfg + v[half:] * (1.0 - cfg), t
+        return v[:half] * cfg + v[half:] * (1.0 - cfg)
 
-    def step(x, s):
-        vc, t = vc_at(x, s)
-        dt = dt_all[s]
+    def em_step(x, mods_row, t, dt, nz):
+        vc = vc_from(x, mods_row, t)
         var = jnp.square(1.0 - t) + t * (1.0 - t)
         score = (t * vc - x) / var
         drift = vc + (1.0 - t) * score
         ns = jnp.sqrt(2.0 * (1.0 - t) * dt)
-        return x + drift * dt + ns * noise[s], None
+        return x + drift * dt + ns * nz
 
-    x, _ = jax.lax.scan(step, x0.astype(jnp.float32),
-                        jnp.arange(num_steps, dtype=jnp.int32))
-    vc, _ = vc_at(x, jnp.int32(num_steps))
+    mods_dtype = stacked["in_w"].dtype
+
+    if mods_chunks <= 1:
+        if allmods is None:
+            allmods = em_precompute(stacked, c_emb, t_all,
+                                    out_dtype=mods_dtype)
+
+        def step(x, s):
+            return em_step(x, allmods[s], t_all[s], dt_all[s], noise[s]), None
+
+        x, _ = jax.lax.scan(step, x0.astype(jnp.float32),
+                            jnp.arange(num_steps, dtype=jnp.int32))
+        final_mods = allmods[num_steps]
+    else:
+        assert c_emb is not None and num_steps % mods_chunks == 0, \
+            (num_steps, mods_chunks)
+        lc = num_steps // mods_chunks
+        t_ch = t_all[:num_steps].reshape(mods_chunks, lc)
+        dt_ch = dt_all[:num_steps].reshape(mods_chunks, lc)
+        nz_ch = noise.reshape(mods_chunks, lc, half, ch)
+
+        def chunk_body(x, xs_c):
+            t_c, dt_c, nz_c = xs_c
+            am_c = em_precompute(stacked, c_emb, t_c, out_dtype=mods_dtype)
+
+            def inner(x, xs_i):
+                am_i, t, dt, nz = xs_i
+                return em_step(x, am_i, t, dt, nz), None
+
+            x, _ = jax.lax.scan(inner, x, (am_c, t_c, dt_c, nz_c))
+            return x, None
+
+        x, _ = jax.lax.scan(chunk_body, x0.astype(jnp.float32),
+                            (t_ch, dt_ch, nz_ch))
+        final_mods = em_precompute(
+            stacked, c_emb, t_all[num_steps: num_steps + 1],
+            out_dtype=mods_dtype)[0]
+    vc = vc_from(x, final_mods, t_all[num_steps])
     return x + vc * last_step_size
 
 

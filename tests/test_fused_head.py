@@ -270,3 +270,28 @@ def test_em_stacked_xla_int8_close_to_fp():
     err = np.max(np.abs(outs[True] - outs[False]))
     assert err < 0.08, f"int8 drift too large: {err}"
     assert err > 0, "quantization had no effect (suspicious)"
+
+
+def test_em_stacked_chunked_mods_matches_unchunked():
+    """mods_chunks > 1 (in-scan chunked precompute) == one-shot allmods."""
+    from bitdance_tpu.ops.fused_head import em_precompute, em_sample_stacked
+
+    net, params = _net_and_params(True)
+    steps = 4
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(
+        net, params, True, steps)
+    x0f = x0.reshape(-1, 8)
+    rng = np.random.default_rng(5)
+    noise = jnp.asarray(rng.normal(size=(steps,) + x0f.shape), jnp.float32)
+
+    stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32)
+    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+    kw = dict(num_blocks=4, num_ada=2, n_head=2, groups=groups,
+              attention=True, bounded=True)
+    want = em_sample_stacked(stacked, x0f, noise, allmods, t_all, dt_all,
+                             jnp.float32(2.0), **kw)
+    got = em_sample_stacked(stacked, x0f, noise, None, t_all, dt_all,
+                            jnp.float32(2.0), c_emb=c_emb, mods_chunks=2,
+                            **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
