@@ -125,7 +125,9 @@ def main():
 
     dd = dict(z_channels=cfg.latent_dim, in_channels=3, out_ch=3, ch=dd_ch,
               ch_mult=[1, 1, 2, 2, 4], num_res_blocks=res_blocks)
-    ae = VQModel(ddconfig=dd)
+    # decode in bf16: conv compute dtype (params stay f32);
+    # GroupNorm statistics are fp32 inside the module
+    ae = VQModel(ddconfig=dd, dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
     params = init_ar_params(key, cfg, dtype=jnp.bfloat16)
@@ -167,17 +169,26 @@ def main():
                       head_stacked=head_stacked)
         return tokens_to_grid(cfg, toks)
 
+    chunk = min(args.decode_chunk, args.batch)
+    n_chunks = -(-args.batch // chunk)
+
     @jax.jit
     def run_decode(ae_params, grid):
-        return ae.apply(ae_params, grid, method=VQModel.decode)
-
-    chunk = min(args.decode_chunk, args.batch)
+        # all chunks inside ONE program: each host->device dispatch costs
+        # 20-90ms over the tunnel, so 8 separate chunk calls were pure
+        # overhead; lax.map keeps the chunks sequential (decoder activation
+        # memory) without the dispatches
+        pad = n_chunks * chunk - grid.shape[0]
+        if pad:
+            grid = jnp.pad(grid, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        gs = grid.reshape((n_chunks, chunk) + grid.shape[1:])
+        imgs = jax.lax.map(
+            lambda g: ae.apply(ae_params, g, method=VQModel.decode), gs)
+        return imgs.reshape((-1,) + imgs.shape[2:])[: args.batch]
 
     def run(rng):
         grid = run_sample(params, head_params, head_stacked, cls, rng)
-        outs = [run_decode(ae_params, grid[i: i + chunk])
-                for i in range(0, args.batch, chunk)]
-        return jnp.concatenate(outs, axis=0)
+        return run_decode(ae_params, grid)
 
     import numpy as _np
 
