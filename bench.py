@@ -92,7 +92,7 @@ def main():
         # single-chip maximum (bf16 stops at 13L); also the fastest
         t2i_14b = run_t2i_subprocess(
             ["--real-14b", "--layers", "28", "--quant-llm", "--quant-head",
-             "--kv-int8", "--images", "2"],
+             "--images", "2"],
             timeout_s=1200)
 
     import jax
@@ -237,7 +237,7 @@ def main():
         result["t2i_14b_geom_s_per_image"] = t2i_14b
         result["t2i_14b_geom_config"] = (
             "5120d LLM 28/40 layers + full 14B head, int8 W8A8, "
-            "int8 KV cache, 2-image batch")
+            "2-image batch, chunked mods")
     print(json.dumps(result))
     print(f"# batch={args.batch} steps={args.sample_steps} "
           f"best={best:.2f}s first(incl compile)={compile_and_first:.1f}s "
