@@ -477,6 +477,89 @@ def _fused_em_kernel(
             o_ref[...] = xf.astype(o_ref.dtype)
 
 
+
+def _fused_em_kernel_resident(
+    # inputs
+    x0_ref, noise_ref, allmods_ref,
+    t_sm, dt_sm, cfg_sm,
+    in_w_ref, in_b_ref, f_out_w_ref, f_out_b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, n2_ref,
+    *rest,
+    num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
+    groups: int, bounded: bool, attention: bool, last_step_size: float,
+    quant: bool, eps: float = 1e-6,
+):
+    """Weights-RESIDENT twin of _fused_em_kernel: grid = (num_steps+1,)
+    with every block's weights held in VMEM for the whole sampling loop
+    (whole-head footprint < VMEM, e.g. the 31MB 768-wide imagenet heads).
+    The per-(step, block) variant re-streams ~3.2GB of weights per AR step
+    at 100 EM steps; this one reads them once."""
+    rest = list(rest)
+    w1_s = w2_s = wqkv_s = wo_s = None
+    if quant:
+        w1_s, w2_s = rest.pop(0), rest.pop(0)
+    if attention:
+        n1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref = rest[:5]
+        rest = rest[5:]
+        if quant:
+            wqkv_s, wo_s = rest.pop(0), rest.pop(0)
+    o_ref, x_vm = rest
+
+    s = pl.program_id(0)
+    half = x0_ref.shape[0]
+    c_dim = w1_ref.shape[1]
+    n_mods = 6 if attention else 3
+
+    @pl.when(s == 0)
+    def _init():
+        x_vm[...] = x0_ref[...].astype(jnp.float32)
+
+    x = x_vm[...]
+    combined = jnp.concatenate([x, x], axis=0)           # CFG rows
+    h = _dot(combined, in_w_ref) + in_b_ref[0][None]
+    for l in range(num_blocks):                          # unrolled: weights
+        g = l // switch_freq                             # stay resident
+        mods = allmods_ref[
+            0, :, pl.dslice(g * n_mods * c_dim, n_mods * c_dim)
+        ].astype(jnp.float32)
+        h = _block_body(
+            h, mods,
+            (n1_ref[l], wqkv_ref[l], bqkv_ref[l, 0], wo_ref[l],
+             bo_ref[l, 0],
+             wqkv_s[l] if quant else None, wo_s[l] if quant else None)
+            if attention else None,
+            n2_ref[l], w1_ref[l], b1_ref[l, 0], w2_ref[l], b2_ref[l, 0],
+            n_head=n_head, groups=groups, eps=eps,
+            w1_s=w1_s[l] if quant else None,
+            w2_s=w2_s[l] if quant else None)
+
+    fmod = allmods_ref[0, :, -(2 * c_dim):].astype(jnp.float32)
+    z = _ln(h, eps) * (1.0 + fmod[:, :c_dim]) + fmod[:, c_dim:]
+    out = _dot(z, f_out_w_ref) + f_out_b_ref[0][None]    # [R, ch]
+    if bounded:
+        out = 2.0 * jax.nn.sigmoid(out) - 1.0
+
+    t = t_sm[s]
+    dt = dt_sm[s]
+    cfgv = cfg_sm[0]
+    v = (out - combined) / jnp.maximum(1.0 - t, 0.05)
+    vc = v[half:] + cfgv * (v[:half] - v[half:])
+
+    @pl.when(s < num_steps)
+    def _stochastic():
+        var = jnp.square(1.0 - t) + t * (1.0 - t)
+        score = (t * vc - x) / var
+        drift = vc + (1.0 - t) * score
+        ns = jnp.sqrt(2.0 * (1.0 - t) * dt)
+        x_vm[...] = x + drift * dt + ns * noise_ref[0].astype(jnp.float32)
+
+    @pl.when(s == num_steps)
+    def _final_euler():
+        xf = x + vc * last_step_size
+        x_vm[...] = xf
+        o_ref[...] = xf.astype(o_ref.dtype)
+
+
 def fused_em_sample(
     stacked: dict,
     x0: jax.Array,         # [half, ch] initial noise (cond rows only)
@@ -494,6 +577,7 @@ def fused_em_sample(
     bounded: bool = True,
     last_step_size: float = 0.05,
     interpret: bool = False,
+    resident: bool | None = None,
 ) -> jax.Array:
     """Entire EM sampling loop (sampling_x.py:44-97) as ONE kernel.
 
@@ -506,6 +590,28 @@ def fused_em_sample(
     num_steps = noise.shape[0]
     switch_freq = max(1, num_blocks // num_ada)
     quant = "w1_s" in stacked
+
+    weight_keys = ["w1", "b1", "w2", "b2", "n2"]
+    if quant:
+        weight_keys += ["w1_s", "w2_s"]
+    if attention:
+        weight_keys += ["n1", "wqkv", "bqkv", "wo", "bo"]
+        if quant:
+            weight_keys += ["wqkv_s", "wo_s"]
+    weight_bytes = sum(stacked[k].size * stacked[k].dtype.itemsize
+                       for k in weight_keys)
+    # whole-head weights resident in VMEM when they fit (e.g. 31MB at the
+    # 768-wide imagenet heads): eliminates the per-(step, block) weight
+    # re-streaming (~3.2GB per 100-step sample) and 6x the grid steps
+    if resident is None:
+        resident = weight_bytes <= 48 * 1024 * 1024
+    if resident:
+        return _fused_em_sample_resident(
+            stacked, x0, noise, allmods, t_all, dt_all, cfg,
+            num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
+            groups=groups, attention=attention, bounded=bounded,
+            last_step_size=last_step_size, quant=quant,
+            num_steps=num_steps, interpret=interpret)
 
     const = lambda arr: pl.BlockSpec(arr.shape, lambda s, l: (0,) * arr.ndim)
     per_block = lambda arr: pl.BlockSpec(
@@ -568,6 +674,62 @@ def fused_em_sample(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _fused_em_sample_resident(
+    stacked, x0, noise, allmods, t_all, dt_all, cfg, *,
+    num_blocks, switch_freq, n_head, groups, attention, bounded,
+    last_step_size, quant, num_steps, interpret,
+):
+    """grid (num_steps+1,) variant with every weight as a VMEM-resident
+    const input (see _fused_em_kernel_resident)."""
+    const = lambda arr: pl.BlockSpec(arr.shape, lambda s: (0,) * arr.ndim)
+    smem = lambda arr: pl.BlockSpec(
+        arr.shape, lambda s: (0,) * arr.ndim, memory_space=pltpu.SMEM)
+
+    args = [
+        x0, noise, allmods,
+        t_all, dt_all, cfg.reshape(1),
+        stacked["in_w"], stacked["in_b"][None],
+        stacked["f_out_w"], stacked["f_out_b"][None],
+        stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
+        stacked["n2"],
+    ]
+    specs = [
+        const(x0),
+        pl.BlockSpec((1,) + noise.shape[1:],
+                     lambda s: (jnp.minimum(s, num_steps - 1), 0, 0)),
+        pl.BlockSpec((1,) + allmods.shape[1:], lambda s: (s, 0, 0)),
+        smem(t_all), smem(dt_all), smem(cfg.reshape(1)),
+    ] + [const(a) for a in args[6:]]
+    if quant:
+        args += [stacked["w1_s"], stacked["w2_s"]]
+    if attention:
+        args += [stacked["n1"], stacked["wqkv"], stacked["bqkv"],
+                 stacked["wo"], stacked["bo"]]
+        if quant:
+            args += [stacked["wqkv_s"], stacked["wo_s"]]
+    specs += [const(a) for a in args[15:]]
+
+    half, ch = x0.shape
+    kernel = functools.partial(
+        _fused_em_kernel_resident, num_blocks=num_blocks,
+        num_steps=num_steps, switch_freq=switch_freq, n_head=n_head,
+        groups=groups, bounded=bounded, attention=attention,
+        last_step_size=last_step_size, quant=quant)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_steps + 1,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(x0.shape, lambda s: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((half, ch), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)

@@ -295,3 +295,28 @@ def test_em_stacked_chunked_mods_matches_unchunked():
                             **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("attention", [False, True])
+def test_fused_em_resident_matches_per_block(attention):
+    """The weights-resident kernel variant == the per-(step, block) one."""
+    from bitdance_tpu.ops.fused_head import em_precompute, fused_em_sample
+
+    net, params = _net_and_params(attention)
+    steps = 3
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(
+        net, params, attention, steps)
+    x0f = x0.reshape(-1, 8)
+    rng = np.random.default_rng(7)
+    noise = jnp.asarray(rng.normal(size=(steps,) + x0f.shape), jnp.float32)
+
+    stacked = stack_diffnet_params(params, 4, attention, dtype=jnp.float32)
+    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+    kw = dict(num_blocks=4, num_ada=2, n_head=2, groups=groups,
+              attention=attention, bounded=attention, interpret=True)
+    want = fused_em_sample(stacked, x0f, noise, allmods, t_all, dt_all,
+                           jnp.float32(2.0), resident=False, **kw)
+    got = fused_em_sample(stacked, x0f, noise, allmods, t_all, dt_all,
+                          jnp.float32(2.0), resident=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
