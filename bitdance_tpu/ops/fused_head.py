@@ -127,6 +127,7 @@ def stack_diffnet_params(net_params: dict, num_blocks: int,
 
 
 def _ln(x, eps=1e-6):
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     return (x - mean) * jax.lax.rsqrt(var + eps)
@@ -159,24 +160,31 @@ def _mmq(a, w, scale):
 
 def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
                 n_head: int, groups: int, eps: float,
-                w1_s=None, w2_s=None):
-    """One adaLN block (attention half optional + SwiGLU MLP half) on fp32
-    activations `h` [R, C]; `mods` [R, n_mods*C]; weight args are ARRAYS
-    (optionally int8 with per-column scales)."""
+                w1_s=None, w2_s=None, elem=jnp.float32):
+    """One adaLN block (attention half optional + SwiGLU MLP half).
+
+    `h` [R, C]; `mods` [R, n_mods*C]; weight args are ARRAYS (optionally
+    int8 with per-column scales). `elem` is the elementwise compute dtype:
+    bf16 (matching a bf16 weight stack, i.e. the reference's autocast
+    semantics) halves the VPU/VMEM bytes of the modulation chain, which is
+    what the fused sampler is bound on; LN statistics and attention
+    softmax stay fp32 regardless."""
     c_dim = h.shape[-1]
+    h = h.astype(elem)
+    mods = mods.astype(elem)
 
     def moded(x, which, nrm):
         scale = mods[:, which * c_dim:(which + 1) * c_dim]
         shift = mods[:, (which + 1) * c_dim:(which + 2) * c_dim]
-        ln = _ln(x, eps) * nrm[0][None].astype(jnp.float32) \
-            + nrm[1][None].astype(jnp.float32)
+        ln = _ln(x, eps).astype(elem) * nrm[0][None].astype(elem) \
+            + nrm[1][None].astype(elem)
         return ln * (1.0 + scale) + shift
 
     if attn_w is not None:
         n1, wqkv, bqkv, wo, bo, wqkv_s, wo_s = attn_w
         hd = c_dim // n_head
         ha = moded(h, 0, n1)
-        qkv = _mmq(ha, wqkv, wqkv_s) + bqkv[None]            # [R, 3C]
+        qkv = (_mmq(ha, wqkv, wqkv_s) + bqkv[None]).astype(elem)  # [R, 3C]
         w = h.shape[0] // groups
         outs = []
         for g in range(groups):
@@ -195,8 +203,8 @@ def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
                     p, v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
             outs.append(jnp.concatenate(heads, axis=-1))
-        attn_out = jnp.concatenate(outs, axis=0)
-        proj = _mmq(attn_out, wo, wo_s) + bo[None]
+        attn_out = jnp.concatenate(outs, axis=0).astype(elem)
+        proj = (_mmq(attn_out, wo, wo_s) + bo[None]).astype(elem)
         gate1 = mods[:, 2 * c_dim:3 * c_dim]
         h = h + proj * gate1
         mlp_base = 3
@@ -204,10 +212,13 @@ def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
         mlp_base = 0
 
     hm = moded(h, mlp_base, n2)
-    h12 = _mmq(hm, w1, w1_s) + b1[None]
+    h12 = (_mmq(hm, w1, w1_s) + b1[None]).astype(elem)
     hidden = h12.shape[-1] // 2
-    glu = jax.nn.silu(h12[:, :hidden]) * h12[:, hidden:]
-    mlp_out = _mmq(glu, w2, w2_s) + b2[None]
+    # silu in f32: Mosaic's logistic lowering broadcasts an f32 scalar into
+    # the vector dtype and fails verification on bf16 operands
+    glu = (jax.nn.silu(h12[:, :hidden].astype(jnp.float32)).astype(elem)
+           * h12[:, hidden:])
+    mlp_out = (_mmq(glu, w2, w2_s) + b2[None]).astype(elem)
     gate2 = mods[:, (mlp_base + 2) * c_dim:(mlp_base + 3) * c_dim]
     return h + mlp_out * gate2
 
@@ -261,8 +272,8 @@ def _fused_net_kernel(
          None, None)
         if attention else None,
         n2_ref[0], w1_ref[0], b1_ref[0, 0], w2_ref[0], b2_ref[0, 0],
-        n_head=n_head, groups=groups, eps=eps)
-    h_vm[...] = h
+        n_head=n_head, groups=groups, eps=eps, elem=n2_ref.dtype)
+    h_vm[...] = h.astype(jnp.float32)
 
     # ---- epilogue: final layer (last block only) ---------------------------
     @pl.when(l == num_blocks - 1)
@@ -429,14 +440,15 @@ def _fused_em_kernel(
     g = l // switch_freq
     mods = allmods_ref[0, :, pl.dslice(g * n_mods * c_dim, n_mods * c_dim)]
     h = _block_body(
-        h_vm[...], mods.astype(jnp.float32),
+        h_vm[...], mods,
         (n1_ref[0], wqkv_ref[0], bqkv_ref[0, 0], wo_ref[0], bo_ref[0, 0],
          wqkv_s[0] if quant else None, wo_s[0] if quant else None)
         if attention else None,
         n2_ref[0], w1_ref[0], b1_ref[0, 0], w2_ref[0], b2_ref[0, 0],
         n_head=n_head, groups=groups, eps=eps,
-        w1_s=w1_s[0] if quant else None, w2_s=w2_s[0] if quant else None)
-    h_vm[...] = h
+        w1_s=w1_s[0] if quant else None, w2_s=w2_s[0] if quant else None,
+        elem=n2_ref.dtype)
+    h_vm[...] = h.astype(jnp.float32)
 
     # ---- epilogue per sampler step: final layer + EM update ----------------
     @pl.when(l == num_blocks - 1)
@@ -520,8 +532,7 @@ def _fused_em_kernel_resident(
     for l in range(num_blocks):                          # unrolled: weights
         g = l // switch_freq                             # stay resident
         mods = allmods_ref[
-            0, :, pl.dslice(g * n_mods * c_dim, n_mods * c_dim)
-        ].astype(jnp.float32)
+            0, :, pl.dslice(g * n_mods * c_dim, n_mods * c_dim)]
         h = _block_body(
             h, mods,
             (n1_ref[l], wqkv_ref[l], bqkv_ref[l, 0], wo_ref[l],
@@ -531,7 +542,7 @@ def _fused_em_kernel_resident(
             n2_ref[l], w1_ref[l], b1_ref[l, 0], w2_ref[l], b2_ref[l, 0],
             n_head=n_head, groups=groups, eps=eps,
             w1_s=w1_s[l] if quant else None,
-            w2_s=w2_s[l] if quant else None)
+            w2_s=w2_s[l] if quant else None, elem=n2_ref.dtype)
 
     fmod = allmods_ref[0, :, -(2 * c_dim):].astype(jnp.float32)
     z = _ln(h, eps) * (1.0 + fmod[:, :c_dim]) + fmod[:, c_dim:]
