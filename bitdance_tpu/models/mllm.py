@@ -40,6 +40,11 @@ class MLLMConfig:
     head_num_adaln: int = 2
     head_use_swiglu: bool = True
     grad_checkpointing: bool = True
+    # what the layer checkpoint saves: "full" recomputes everything (the
+    # default — measured wall-clock-equal to "dots" on v5e and the only
+    # option that fits the 33k budget in 16GB HBM), "dots" saves matmul
+    # outputs for HBM-rich parts (see qwen3_forward docstring)
+    remat_policy: str = "full"
     P_mean: float = -0.8
     P_std: float = 0.8
     time_shift: float = 1.0
@@ -207,6 +212,7 @@ def mllm_forward_train(
         batch.block_ids[None], batch.doc_ids[None],
         remat=(train and cfg.grad_checkpointing),
         max_live_kv=cfg.attn_max_live_kv,
+        remat_policy=cfg.remat_policy,
     )[0]  # [L, D]
     return _losses_from_hidden(params, cfg, batch, hidden, k_head)
 
@@ -240,6 +246,7 @@ def mllm_forward_train_batched(
         batch.block_ids, batch.doc_ids,
         remat=(train and cfg.grad_checkpointing),
         max_live_kv=cfg.attn_max_live_kv,
+        remat_policy=cfg.remat_policy,
     )                                                   # [B, L, D]
     outs = jax.vmap(
         lambda b, h, k: _losses_from_hidden(params, cfg, b, h, k),
