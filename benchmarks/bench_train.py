@@ -93,7 +93,7 @@ def bench_mllm(args):
     )
     from bitdance_tpu.models import qwen3 as q3
     from bitdance_tpu.models.mllm import MLLMConfig, PackedBatch, init_mllm_params
-    from bitdance_tpu.ops.rotary import sincos_1d_table
+    from bitdance_tpu.ops.rotary import sincos_1d_table_np
     from bitdance_tpu.train.mllm_train import (
         MLLMTrainConfig,
         make_state,
@@ -123,7 +123,7 @@ def bench_mllm(args):
     tcfg = MLLMTrainConfig(lr=1e-5, warmup_steps=0, total_steps=1000)
 
     rng = np.random.default_rng(0)
-    table = np.asarray(sincos_1d_table(hidden // 2, 64))
+    table = sincos_1d_table_np(hidden // 2, 64)
     samples = []
     # 512px images (32x32 latents = 1024 tokens) at real budgets; tiny 8x8
     # images for smoke-scale budgets (side set above with max_live_kv)

@@ -110,8 +110,7 @@ def pack_t2i_batch(
     that exceed seq_budget raise; callers choose budgets per yaml
     (expected_num_tokens 33280, bitdance_14b_64x.yaml:45-47).
     """
-    from bitdance_tpu.ops.rotary import pos_embed_2d
-    import jax.numpy as jnp
+    from bitdance_tpu.ops.rotary import pos_embed_2d_np
 
     p = parallel_num
     hidden = pos_embed_table.shape[1] * 2
@@ -138,8 +137,7 @@ def pack_t2i_batch(
             raise ValueError(f"sample overflows budget {seq_budget}")
 
         ps = int(np.sqrt(p))
-        pe = np.asarray(pos_embed_2d(jnp.asarray(pos_embed_table),
-                                     s.latent_h, s.latent_w, ps=ps))
+        pe = pos_embed_2d_np(pos_embed_table, s.latent_h, s.latent_w, ps=ps)
 
         # --- text + header tokens ------------------------------------------
         all_text = list(s.text_ids) + header

@@ -127,3 +127,35 @@ def pos_embed_2d(table_1d: jax.Array, h: int, w: int, ps: int = 1) -> jax.Array:
     pe = pe.reshape(hh, ps, ww, ps, -1)
     pe = jnp.transpose(pe, (0, 2, 1, 3, 4))
     return pe.reshape(h * w, -1)
+
+
+def sincos_1d_table_np(dim: int, max_len: int,
+                       pe_interpolation: float = 1.0):
+    """Numpy twin of sincos_1d_table for host-side data pipelines (no
+    device dispatch; see pos_embed_2d_np)."""
+    import numpy as np
+
+    assert dim % 2 == 0
+    omega = np.arange(dim // 2, dtype=np.float32) / (dim / 2.0)
+    omega = 1.0 / (10000.0 ** omega)
+    pos = np.arange(max_len, dtype=np.float32) / pe_interpolation
+    out = np.outer(pos, omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def pos_embed_2d_np(table_1d, h: int, w: int, ps: int = 1):
+    """Numpy twin of pos_embed_2d for host-side data pipelines (the packer
+    runs per-sample on CPU — eager jnp ops there would dispatch to the
+    accelerator at ~1s/op over a remote tunnel). Equality with the jax
+    version is asserted in tests/test_ops.py."""
+    import numpy as np
+
+    table_1d = np.asarray(table_1d)
+    d2 = table_1d.shape[1]
+    grid_v = np.broadcast_to(table_1d[:h, None, :], (h, w, d2))
+    grid_h = np.broadcast_to(table_1d[None, :w, :], (h, w, d2))
+    pe = np.concatenate([grid_h, grid_v], axis=-1)
+    hh, ww = h // ps, w // ps
+    pe = pe.reshape(hh, ps, ww, ps, -1)
+    pe = np.transpose(pe, (0, 2, 1, 3, 4))
+    return pe.reshape(h * w, -1)

@@ -130,6 +130,19 @@ def test_sincos_pos_embed_2d_raster_order():
     np.testing.assert_allclose(pe[4], flat[2])   # (0,2)
 
 
+def test_numpy_twins_match_jax():
+    """Host-side data pipelines use the _np twins (zero device dispatch);
+    they must stay bit-compatible with the in-graph jax versions."""
+    from bitdance_tpu.ops.rotary import pos_embed_2d_np, sincos_1d_table_np
+
+    t_jax = np.asarray(sincos_1d_table(8, 16, pe_interpolation=2.0))
+    t_np = sincos_1d_table_np(8, 16, pe_interpolation=2.0)
+    np.testing.assert_allclose(t_jax, t_np, atol=1e-6)
+    pe_jax = np.asarray(pos_embed_2d(jnp.asarray(t_np), 4, 6, ps=2))
+    pe_np = pos_embed_2d_np(t_np, 4, 6, ps=2)
+    np.testing.assert_allclose(pe_jax, pe_np, atol=1e-6)
+
+
 def test_sign_quantize():
     x = jnp.asarray([-0.5, 0.0, 0.5, 2.0])
     np.testing.assert_array_equal(sign_quantize(x), [-1.0, -1.0, 1.0, 1.0])
