@@ -553,9 +553,16 @@ def _flash_kernel_sparse(
     m_scr, l_scr, acc_scr,
     *, scale: float, max_live_kv: int,
 ):
+    """GQA-folded: the `group` q heads sharing one kv head ride as extra
+    ROWS of the q tile ([group*block_q, d]), so the grid iterates kv heads
+    (hkv), not q heads — group-x fewer grid steps and kv DMAs, and a
+    group-x taller M per MXU dot. Valid because the mask depends only on
+    token positions, never on the head."""
     bi = pl.program_id(0)
     i = pl.program_id(2)
     j = pl.program_id(3)
+    group, block_q, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    gbq = group * block_q
 
     @pl.when(j == 0)
     def _init():
@@ -571,12 +578,14 @@ def _flash_kernel_sparse(
         qd = qd_ref[0, 0, :]
         kb = kb_ref[0, 0, :]
         kd = kd_ref[0, 0, :]
-        q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+        q = q_ref[0].reshape(gbq, d).astype(jnp.float32) * scale
         k = k_ref[0, 0, :, :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
         mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
+        mask = jnp.broadcast_to(mask[None], (group,) + mask.shape).reshape(
+            gbq, -1)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:]
@@ -594,9 +603,10 @@ def _flash_kernel_sparse(
     def _finalize():
         l = l_scr[:]
         safe = jnp.where(l > 0, l, 1.0)
-        o_ref[0, 0, :, :] = (acc_scr[:] / safe * (l > 0)).astype(o_ref.dtype)
-        lse_ref[0, 0, :, :] = jnp.where(
-            l > 0, m_scr[:] + jnp.log(safe), 1e30)
+        o_ref[0] = (acc_scr[:] / safe * (l > 0)).astype(o_ref.dtype).reshape(
+            group, block_q, d)
+        lse_ref[0] = jnp.where(
+            l > 0, m_scr[:] + jnp.log(safe), 1e30).reshape(group, block_q, 1)
 
 
 def tile_live_matrix(
@@ -722,9 +732,10 @@ def _flash_sparse_forward_padded(qp, kp, vp, qb, qd, kb, kd,
 
     kernel = functools.partial(_flash_kernel_sparse, scale=scale,
                                max_live_kv=max_live_kv)
+    # GQA-folded grid: kv heads, with the group dim as q-tile block rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hq, n_q, max_live_kv),
+        grid=(b, hkv, n_q, max_live_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q),
                          lambda bi, h, i, j, mp, ct: (bi, 0, i)),
@@ -734,25 +745,23 @@ def _flash_sparse_forward_padded(qp, kp, vp, qb, qd, kb, kd,
                          lambda bi, h, i, j, mp, ct: (bi, 0, mp[bi, i, j])),
             pl.BlockSpec((1, 1, block_k),
                          lambda bi, h, i, j, mp, ct: (bi, 0, mp[bi, i, j])),
-            pl.BlockSpec((1, 1, block_q, d),
+            pl.BlockSpec((1, group, block_q, d),
                          lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, i, j, mp, ct, g=group:
-                         (bi, h // g, mp[bi, i, j], 0)),
+                         lambda bi, h, i, j, mp, ct: (bi, h, mp[bi, i, j], 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, i, j, mp, ct, g=group:
-                         (bi, h // g, mp[bi, i, j], 0)),
+                         lambda bi, h, i, j, mp, ct: (bi, h, mp[bi, i, j], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d),
+            pl.BlockSpec((1, group, block_q, d),
                          lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, group, block_q, 1),
                          lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((group * block_q, 1), jnp.float32),
+            pltpu.VMEM((group * block_q, 1), jnp.float32),
+            pltpu.VMEM((group * block_q, d), jnp.float32),
         ],
     )
     out, lse = pl.pallas_call(
@@ -800,9 +809,13 @@ def _flash_bwd_dq_kernel_sparse(
     dq_scr,
     *, scale: float, max_live_kv: int,
 ):
+    """GQA-folded like _flash_kernel_sparse: grid iterates kv heads; the
+    group q heads are rows of the q/do/lse/delta tiles."""
     bi = pl.program_id(0)
     i = pl.program_id(2)
     j = pl.program_id(3)
+    group, block_q, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    gbq = group * block_q
 
     @pl.when(j == 0)
     def _init():
@@ -814,24 +827,28 @@ def _flash_bwd_dq_kernel_sparse(
         qd = qd_ref[0, 0, :]
         kb = kb_ref[0, 0, :]
         kd = kd_ref[0, 0, :]
-        q = q_ref[0, 0, :, :].astype(jnp.float32)
+        q = q_ref[0].reshape(gbq, d).astype(jnp.float32)
         k = k_ref[0, 0, :, :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q * scale, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, :, :]), 0.0)
-        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        mask = jnp.broadcast_to(mask[None], (group,) + mask.shape).reshape(
+            gbq, -1)
+        lse = lse_ref[0].reshape(gbq, 1)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        do = do_ref[0].reshape(gbq, d).astype(jnp.float32)
         v = v_ref[0, 0, :, :].astype(jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0, :, :])
+        ds = p * (dp - delta_ref[0].reshape(gbq, 1))
         dq_scr[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(j == max_live_kv - 1)
     def _finalize():
-        dq_ref[0, 0, :, :] = (dq_scr[:] * scale).astype(dq_ref.dtype)
+        dq_ref[0] = (dq_scr[:] * scale).astype(dq_ref.dtype).reshape(
+            group, block_q, d)
 
 
 def _flash_bwd_dkv_kernel_sparse(
@@ -842,9 +859,14 @@ def _flash_bwd_dkv_kernel_sparse(
     dk_scr, dv_scr,
     *, scale: float, max_live_q: int,
 ):
+    """GQA-folded: p^T@do / ds^T@q over the folded [group*block_q] rows sum
+    the group q heads' contributions in-kernel, so dk/dv come out per KV
+    head directly (no [b, hq, lk, d] f32 materialize + sum pass)."""
     bi = pl.program_id(0)
     jk = pl.program_id(2)
     i = pl.program_id(3)
+    group, block_q, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    gbq = group * block_q
 
     @pl.when(i == 0)
     def _init():
@@ -857,19 +879,21 @@ def _flash_bwd_dkv_kernel_sparse(
         qd = qd_ref[0, 0, :]
         kb = kb_ref[0, 0, :]
         kd = kd_ref[0, 0, :]
-        qs = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+        qs = q_ref[0].reshape(gbq, d).astype(jnp.float32) * scale
         k = k_ref[0, 0, :, :].astype(jnp.float32)
         s = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         mask = (qd[:, None] == kd[None, :]) & (kb[None, :] <= qb[:, None])
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, :, :]), 0.0)
-        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        mask = jnp.broadcast_to(mask[None], (group,) + mask.shape).reshape(
+            gbq, -1)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0].reshape(gbq, 1)), 0.0)
+        do = do_ref[0].reshape(gbq, d).astype(jnp.float32)
         v = v_ref[0, 0, :, :].astype(jnp.float32)
         dv_scr[:] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0, :, :])
+        ds = p * (dp - delta_ref[0].reshape(gbq, 1))
         dk_scr[:] += jax.lax.dot_general(
             ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
@@ -907,10 +931,10 @@ def _flash_sparse_backward_padded(qp, kp, vp, qb, qd, kb, kd, o, lse, do,
     qb, qd = qb[:, None, :], qd[:, None, :]
     kb, kd = kb[:, None, :], kd[:, None, :]
 
-    # dq: grid (b, hq, n_q, max_live_kv); kv tile from the prefetched map
+    # dq: grid (b, hkv, n_q, max_live_kv), GQA-folded; kv tile from the map
     dq_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hq, n_q, max_live_kv),
+        grid=(b, hkv, n_q, max_live_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q),
                          lambda bi, h, i, j, mp, ct: (bi, 0, i)),
@@ -920,24 +944,22 @@ def _flash_sparse_backward_padded(qp, kp, vp, qb, qd, kb, kd, o, lse, do,
                          lambda bi, h, i, j, mp, ct: (bi, 0, mp[bi, i, j])),
             pl.BlockSpec((1, 1, block_k),
                          lambda bi, h, i, j, mp, ct: (bi, 0, mp[bi, i, j])),
-            pl.BlockSpec((1, 1, block_q, d),
+            pl.BlockSpec((1, group, block_q, d),
                          lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, i, j, mp, ct, g=group:
-                         (bi, h // g, mp[bi, i, j], 0)),
+                         lambda bi, h, i, j, mp, ct: (bi, h, mp[bi, i, j], 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, i, j, mp, ct, g=group:
-                         (bi, h // g, mp[bi, i, j], 0)),
-            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, h, i, j, mp, ct: (bi, h, mp[bi, i, j], 0)),
+            pl.BlockSpec((1, group, block_q, d),
                          lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, group, block_q, 1),
                          lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, group, block_q, 1),
                          lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
+        out_specs=pl.BlockSpec((1, group, block_q, d),
                                lambda bi, h, i, j, mp, ct: (bi, h, i, 0)),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((group * block_q, d), jnp.float32)],
     )
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel_sparse, scale=scale,
@@ -951,10 +973,12 @@ def _flash_sparse_backward_padded(qp, kp, vp, qb, qd, kb, kd, o, lse, do,
         interpret=interpret,
     )(tile_map, counts, qb, qd, kb, kd, qp, kp, vp, do, lse, delta)
 
-    # dk/dv: grid (b, hq, n_k, max_live_q); q tile from the transposed map
+    # dk/dv: grid (b, hkv, n_k, max_live_q), GQA-folded (the group sum
+    # happens inside the kernel's transposed dots); q tile from the
+    # transposed map
     dkv_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hq, n_k, max_live_q),
+        grid=(b, hkv, n_k, max_live_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q),
                          lambda bi, h, jk, i, mp, ct: (bi, 0, mp[bi, jk, i])),
@@ -964,19 +988,17 @@ def _flash_sparse_backward_padded(qp, kp, vp, qb, qd, kb, kd, o, lse, do,
                          lambda bi, h, jk, i, mp, ct: (bi, 0, jk)),
             pl.BlockSpec((1, 1, block_k),
                          lambda bi, h, jk, i, mp, ct: (bi, 0, jk)),
-            pl.BlockSpec((1, 1, block_q, d),
+            pl.BlockSpec((1, group, block_q, d),
                          lambda bi, h, jk, i, mp, ct: (bi, h, mp[bi, jk, i], 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, jk, i, mp, ct, g=group:
-                         (bi, h // g, jk, 0)),
+                         lambda bi, h, jk, i, mp, ct: (bi, h, jk, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, h, jk, i, mp, ct, g=group:
-                         (bi, h // g, jk, 0)),
-            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, h, jk, i, mp, ct: (bi, h, jk, 0)),
+            pl.BlockSpec((1, group, block_q, d),
                          lambda bi, h, jk, i, mp, ct: (bi, h, mp[bi, jk, i], 0)),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, group, block_q, 1),
                          lambda bi, h, jk, i, mp, ct: (bi, h, mp[bi, jk, i], 0)),
-            pl.BlockSpec((1, 1, block_q, 1),
+            pl.BlockSpec((1, group, block_q, 1),
                          lambda bi, h, jk, i, mp, ct: (bi, h, mp[bi, jk, i], 0)),
         ],
         out_specs=[
@@ -988,13 +1010,13 @@ def _flash_sparse_backward_padded(qp, kp, vp, qb, qd, kb, kd, o, lse, do,
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],
     )
-    dk_h, dv_h = pl.pallas_call(
+    dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel_sparse, scale=scale,
                           max_live_q=max_live_q),
         grid_spec=dkv_grid,
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, lk_p, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, hq, lk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, lk_p, d), kp.dtype),
+            jax.ShapeDtypeStruct((b, hkv, lk_p, d), vp.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -1002,9 +1024,6 @@ def _flash_sparse_backward_padded(qp, kp, vp, qb, qd, kb, kd, o, lse, do,
         ),
         interpret=interpret,
     )(qtile_map, qcounts, qb, qd, kb, kd, qp, kp, vp, do, lse, delta)
-
-    dk = dk_h.reshape(b, hkv, group, lk_p, d).sum(axis=2).astype(kp.dtype)
-    dv = dv_h.reshape(b, hkv, group, lk_p, d).sum(axis=2).astype(vp.dtype)
     return dq, dk, dv
 
 
