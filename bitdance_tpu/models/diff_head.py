@@ -434,7 +434,10 @@ class DiffHead(nn.Module):
             jax.default_backend() == "tpu"
             and not self.is_initializing()
             and cfg_mult == 2
-            and self.use_swiglu
+            # MlpResBlock (attention=False) is SwiGLU regardless of the
+            # use_swiglu flag (it only selects TransBlock's MLP family), so
+            # the 1x imagenet MLP head qualifies for the fused sampler too
+            and (self.use_swiglu or not self.attention)
             and self.ch_latent % 128 == 0
             and self.ch_latent % self.attn_head_dim == 0
             and cond.ndim == (3 if self.attention else 2)

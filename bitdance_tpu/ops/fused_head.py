@@ -150,6 +150,8 @@ def _mmq(a, w, scale):
     """
     if scale is None:
         return _dot(a, w)
+    # quantize in f32: Mosaic has no bf16 roundeven lowering
+    a = a.astype(jnp.float32)
     sa = jnp.maximum(jnp.max(jnp.abs(a), axis=1, keepdims=True) / 127.0,
                      1e-12)
     aq = jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8)
