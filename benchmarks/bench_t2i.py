@@ -15,6 +15,12 @@ Measurements on one v5e (fused whole-sampler head kernel, round 2):
      stacked XLA sampler with W8A8 MXU dots is the lever — the Pallas
      whole-sampler kernel applies below ~2k width where per-block weights
      fit VMEM and launches, not FLOPs, dominate.)
+  ... + 2-image batch, chunked mods precompute, split prefill/decode
+    programs with the KV cache donated + layout-pinned (zero cache
+    copies), int8 embed + int8 modcat: 6.91 s/image (the serving config).
+    4-image bf16-KV does NOT fit 28L (args alone 15.1G of 15.75G HBM);
+    4-image int8-KV fits but measured slower (9.37) — the int8 KV
+    attention dequant costs more than the batching saves.
   See MEMORY_PLAN for full-model deployment options.
 
 Usage: python benchmarks/bench_t2i.py [--height 1024] [--parallel 64]

@@ -147,8 +147,9 @@ def init_qwen3_params_int8(key: jax.Array, cfg: Qwen3Config,
     layers = jax.lax.map(one_layer,
                          jax.random.split(k_layers, cfg.num_hidden_layers))
     params = {
-        "embed_tokens": (jax.random.normal(k_embed, (cfg.vocab_size, D))
-                         * 0.02).astype(dtype),
+        # int8 embedding table: 0.78GB instead of 1.56GB bf16 at 152k x 5120
+        # (embed_tokens dequantizes the gathered rows only)
+        "embed_tokens": qdense(k_embed, (cfg.vocab_size, D)),
         "final_norm": jnp.ones((D,), dtype),
         "layers": layers,
     }
@@ -200,13 +201,20 @@ _QUANT_LAYER_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj",
                      "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_qwen3_params(params: dict, quantize_lm_head: bool = True) -> dict:
+def quantize_qwen3_params(params: dict, quantize_lm_head: bool = True,
+                          quantize_embed: bool = False) -> dict:
     """Int8-quantize the per-layer matmul weights (and optionally lm_head).
 
     Inference-only: halves decode-phase weight HBM traffic and runs the
-    dots on the MXU's native s8 path (see ops/int8.py). Embeddings stay
-    unquantized (gather, not matmul). The returned pytree drops into every
-    qwen3_* entry point unchanged — `mm` dispatches on leaf type.
+    dots on the MXU's native s8 path (see ops/int8.py). The returned pytree
+    drops into every qwen3_* entry point unchanged — `mm` dispatches on
+    leaf type.
+
+    quantize_embed=True also stores the embedding table as int8 with
+    per-hidden-column scales (a 152k x 5120 table is 1.56GB bf16 — the
+    second-largest buffer after the layer stack at 14B width; the gather
+    dequantizes the looked-up rows only). Off by default: the embedding is
+    read once per token, so this is a memory lever, not a bandwidth one.
     """
     layers = dict(params["layers"])
     for k in _QUANT_LAYER_KEYS:
@@ -214,6 +222,8 @@ def quantize_qwen3_params(params: dict, quantize_lm_head: bool = True) -> dict:
     out = dict(params, layers=layers)
     if quantize_lm_head and "lm_head" in params:
         out["lm_head"] = quantize_linear(params["lm_head"])
+    if quantize_embed:
+        out["embed_tokens"] = quantize_linear(params["embed_tokens"])
     return out
 
 
@@ -394,11 +404,21 @@ def qwen3_forward_cached(
 
 
 def embed_tokens(params: dict, token_ids: jax.Array) -> jax.Array:
-    return jnp.take(params["embed_tokens"], token_ids, axis=0)
+    w = params["embed_tokens"]
+    if isinstance(w, QTensor):
+        # int8 table: gather rows, then dequantize just the looked-up rows
+        rows = jnp.take(w.q, token_ids, axis=0).astype(jnp.float32)
+        return (rows * w.s).astype(jnp.bfloat16)
+    return jnp.take(w, token_ids, axis=0)
 
 
 def lm_logits(params: dict, cfg: Qwen3Config, hidden: jax.Array) -> jax.Array:
     w = params.get("lm_head")
     if w is None:
-        w = params["embed_tokens"].T
+        w = params["embed_tokens"]
+        if isinstance(w, QTensor):
+            from bitdance_tpu.ops.int8 import dequantize
+
+            w = dequantize(w, hidden.dtype)
+        w = w.T
     return mm(hidden, w).astype(jnp.float32)

@@ -84,7 +84,9 @@ def stack_diffnet_params(net_params: dict, num_blocks: int,
         "f_ada_b": p["final_layer"]["ada_ln_modulation"]["bias"].astype(jnp.float32),
         "f_out_w": p["final_layer"]["linear"]["kernel"].astype(dtype),
         "f_out_b": p["final_layer"]["linear"]["bias"].astype(jnp.float32),
-        "cond_w": p["cond_embed"]["kernel"].astype(jnp.float32),
+        # storage dtype (105MB as f32 at 14B width); the cond matmul runs
+        # once per AR step and accumulates in f32 regardless
+        "cond_w": p["cond_embed"]["kernel"].astype(dtype),
         "cond_b": p["cond_embed"]["bias"].astype(jnp.float32),
     }
     if quant:
@@ -101,10 +103,15 @@ def stack_diffnet_params(net_params: dict, num_blocks: int,
          for i in range(n_ada)])
     # one concatenated projection [C, A*mC + 2C] -> ALL per-step mods
     # (ada groups + final layer) in a single MXU-friendly matmul
-    out["modcat_w"] = jnp.concatenate(
+    modcat = jnp.concatenate(
         [w for w in out["ada_w"]] + [out["f_ada_w"]], axis=1)
     out["modcat_b"] = jnp.concatenate(
         [b[0] for b in out["ada_b"]] + [out["f_ada_b"]], axis=0)
+    if quant:
+        # 734MB bf16 at 14B width — the largest non-block head matrix
+        out["modcat_w"], out["modcat_w_s"] = quantize_cols(modcat)
+    else:
+        out["modcat_w"] = modcat
     if attention:
         out["n1"] = stack(lambda b: jnp.stack(
             [b["norm1"]["weight"], b["norm1"]["bias"]]))       # [L, 2, C]
@@ -953,6 +960,6 @@ def em_precompute(stacked: dict, c_emb: jax.Array, t_all: jax.Array,
     te = _dot(jax.nn.silu(te), stacked["t_w2"]) + stacked["t_b2"][None]
     y = jax.nn.silu(te[:, None, :] + c_emb[None])            # [S, R, C]
     s_dim, r_dim, c_dim = y.shape
-    allmods = _dot(y.reshape(s_dim * r_dim, c_dim), stacked["modcat_w"]) \
-        + stacked["modcat_b"][None]
+    allmods = _mmq(y.reshape(s_dim * r_dim, c_dim), stacked["modcat_w"],
+                   stacked.get("modcat_w_s")) + stacked["modcat_b"][None]
     return allmods.astype(out_dtype).reshape(s_dim, r_dim, -1)

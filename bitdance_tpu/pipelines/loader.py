@@ -7,6 +7,7 @@ vision_head.safetensors, projector.safetensors.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 
@@ -30,10 +31,13 @@ from bitdance_tpu.pipelines.t2i import T2IModelBundle, T2IPipeline
 
 def load_t2i_pipeline(model_path: str, dtype=jnp.bfloat16,
                       quantize_llm: bool = False,
-                      quantize_head: bool = False) -> T2IPipeline:
+                      quantize_head: bool = False,
+                      quantize_embed: bool = False) -> T2IPipeline:
     """quantize_llm: int8 W8A8 LLM matmuls (ops/int8.py) — halves decode
     weight traffic at a small image-quality cost. quantize_head: int8
-    weight-only fused head sampler (DiffHead.sample_weight_quant)."""
+    weight-only fused head sampler (DiffHead.sample_weight_quant).
+    quantize_embed: int8 embedding table (memory lever — frees 0.78GB at
+    152k x 5120, enabling larger image batches per chip)."""
     # LLM + tokenizer (added special tokens ride in tokenizer files)
     llm_params, hf_cfg = load_hf_qwen3_dir(model_path, dtype)
     llm_cfg = Qwen3Config(
@@ -49,10 +53,20 @@ def load_t2i_pipeline(model_path: str, dtype=jnp.bfloat16,
         rope_theta=hf_cfg.get("rope_theta", 1e6),
         tie_word_embeddings=hf_cfg.get("tie_word_embeddings", False),
     )
-    if quantize_llm:
+    if quantize_llm or quantize_embed:
         from bitdance_tpu.models.qwen3 import quantize_qwen3_params
 
-        llm_params = jax.jit(quantize_qwen3_params)(llm_params)
+        if quantize_llm:
+            llm_params = jax.jit(functools.partial(
+                quantize_qwen3_params, quantize_embed=quantize_embed)
+            )(llm_params)
+        else:
+            from bitdance_tpu.ops.int8 import quantize_linear
+
+            llm_params = dict(
+                llm_params,
+                embed_tokens=jax.jit(quantize_linear)(
+                    llm_params["embed_tokens"]))
 
     from transformers import AutoTokenizer
 

@@ -71,32 +71,28 @@ def build_pos_table(bundle: T2IModelBundle) -> jax.Array:
     return sincos_1d_table(bundle.hidden_size // 2, max_len)
 
 
-def generate_tokens(
+def prefill_t2i(
     bundle: T2IModelBundle,
     prompt_ids: jax.Array,       # [2n, P] left-padded (cond rows then uncond)
     prompt_pad: jax.Array,       # [2n] number of left pads per row
     img_start_ids: jax.Array,    # [2 + parallel_num] vision_start,res_h,res_w,queries
-    pos_embed_for_diff: jax.Array,  # [h*w, hidden] ps-raster ordered
-    rng: jax.Array,
     *,
     latent_h: int,
     latent_w: int,
     num_images: int,
-    guidance_scale: jax.Array | float,
-    num_sampling_steps: int,
     kv_int8: bool = False,
-) -> jax.Array:
-    """Run prefill + AR decode; returns ±1 tokens [n, h*w, z_channels].
+):
+    """Both prefill passes; returns (cache, hidden [2n, p, D]).
 
-    Shapes are static given (P, latent_h, latent_w, num_images); jit the
-    caller over these buckets.
-    """
+    Split from the decode scan so the serving caller can jit decode with a
+    DONATED cache: inside one program XLA inserts a full-cache copy at the
+    while-loop carry boundary (1.8GB at 4-image 14B/1024px — the buffer
+    that decides how many images fit per chip)."""
     cfg = bundle.llm_cfg
     p = bundle.parallel_num
     n2 = 2 * num_images
     P = prompt_ids.shape[1]
     max_len = latent_h * latent_w
-    num_steps = max_len // p
     cache_max = P + 2 + p + max_len
 
     # ---- embeddings -------------------------------------------------------
@@ -109,8 +105,8 @@ def generate_tokens(
     idx = jnp.arange(P + 2 + p, dtype=jnp.int32)[None]
     positions = jnp.maximum(idx - prompt_pad[:, None], 0)
 
-    # kv_int8: fused int8 ring buffer — 4x smaller than bf16 k+v (the
-    # decisive HBM saving for >=2-image batches at 14B width)
+    # kv_int8: fused int8 ring buffer — 4x smaller than bf16 k+v (an HBM
+    # saving for many-image batches; bf16 reads faster when it fits)
     cache = q3.init_kv_cache(cfg, n2, cache_max, dtype=prompt_emb.dtype,
                              int8=kv_int8)
     kv_start = prompt_pad
@@ -126,6 +122,31 @@ def generate_tokens(
         bundle.llm_params, cfg, seq_emb[:, pre1:], positions[:, pre1:],
         cache, jnp.int32(pre1), kv_start, causal_block=False,
     )  # [2n, p, D]
+    return cache, hidden
+
+
+def decode_t2i(
+    bundle: T2IModelBundle,
+    cache: dict,                 # donate me
+    hidden: jax.Array,           # [2n, p, D] from prefill_t2i
+    prompt_pad: jax.Array,       # [2n]
+    pos_embed_for_diff: jax.Array,  # [h*w, hidden] ps-raster ordered
+    rng: jax.Array,
+    *,
+    prompt_len: int,
+    latent_h: int,
+    latent_w: int,
+    num_images: int,
+    guidance_scale: jax.Array | float,
+    num_sampling_steps: int,
+) -> jax.Array:
+    """AR decode scan; returns ±1 tokens [n, h*w, z_channels]."""
+    cfg = bundle.llm_cfg
+    p = bundle.parallel_num
+    max_len = latent_h * latent_w
+    num_steps = max_len // p
+    pre1 = prompt_len + 2
+    kv_start = prompt_pad
 
     pos_diff = pos_embed_for_diff.astype(hidden.dtype)  # [h*w, D]
 
@@ -162,13 +183,50 @@ def generate_tokens(
         )
         return (cache, new_hidden, key), tokens
 
-    (_, _, _), all_tokens = jax.lax.scan(
+    (cache, _, _), all_tokens = jax.lax.scan(
         decode_step, (cache, hidden, rng), jnp.arange(num_steps, dtype=jnp.int32)
     )  # [num_steps, n, p, z]
 
     z = all_tokens.shape[-1]
     out = jnp.transpose(all_tokens, (1, 0, 2, 3)).reshape(num_images, max_len, z)
-    return out
+    # the (dead) final cache is returned ONLY as the donation target: without
+    # a cache output, donate_argnums has nothing to alias the input to, the
+    # input stays read-only, and XLA copies the full cache (1.8GB at 4-image
+    # 14B/1024px) before the decode loop can update it in place
+    return out, cache
+
+
+def generate_tokens(
+    bundle: T2IModelBundle,
+    prompt_ids: jax.Array,
+    prompt_pad: jax.Array,
+    img_start_ids: jax.Array,
+    pos_embed_for_diff: jax.Array,
+    rng: jax.Array,
+    *,
+    latent_h: int,
+    latent_w: int,
+    num_images: int,
+    guidance_scale: jax.Array | float,
+    num_sampling_steps: int,
+    kv_int8: bool = False,
+) -> jax.Array:
+    """Prefill + AR decode in one trace; returns ±1 tokens [n, h*w, z].
+
+    One-program convenience composition (tests, CPU paths). The serving
+    pipeline compiles prefill_t2i / decode_t2i separately and donates the
+    cache between them (see T2IPipeline._compiled)."""
+    cache, hidden = prefill_t2i(
+        bundle, prompt_ids, prompt_pad, img_start_ids,
+        latent_h=latent_h, latent_w=latent_w, num_images=num_images,
+        kv_int8=kv_int8)
+    tokens, _ = decode_t2i(
+        bundle, cache, hidden, prompt_pad, pos_embed_for_diff, rng,
+        prompt_len=prompt_ids.shape[1], latent_h=latent_h,
+        latent_w=latent_w, num_images=num_images,
+        guidance_scale=guidance_scale,
+        num_sampling_steps=num_sampling_steps)
+    return tokens
 
 
 def decode_image(bundle: T2IModelBundle, tokens: jax.Array,
@@ -198,6 +256,19 @@ class T2IPipeline:
         # cfg_scale is a TRACED argument, not part of the compile key: a
         # guidance slider must not trigger a recompile (app.py serves
         # arbitrary float scales; compiles cost minutes at 14B size).
+        #
+        # TWO programs — prefill and decode — with the KV cache DONATED into
+        # decode: inside one program XLA copies the whole cache at the
+        # decode-scan carry boundary (1.8GB at 4-image 14B/1024px), and that
+        # copy is what capped the images-per-chip batch.
+        #
+        # The cache layouts are PINNED to the default (descending
+        # major-to-minor) on both programs: left to itself, XLA picks a
+        # transposed layout for decode's cache OUTPUT while its input keeps
+        # the default, so the donated buffer can't alias byte-for-byte and
+        # copy-insertion materializes one full entry copy + one exit
+        # transpose PER BUFFER (measured: 3.62G of HLO temps at 28L/4-image
+        # — the difference between fitting and OOM on a 16G chip).
         key = (P, latent_h, latent_w, n, steps)
         if key not in self._jitted:
             base = self.bundle
@@ -205,20 +276,40 @@ class T2IPipeline:
             # Params travel as jit ARGUMENTS — closing over them embeds the
             # full 14B weights as HLO constants, which overflows the compile
             # pipeline (multi-hundred-MB serialized programs).
-            def fn(params3, prompt_ids, prompt_pad, start_ids, pe, cfg_scale,
-                   rng):
-                b = dataclasses.replace(
+            def rebind(params3):
+                return dataclasses.replace(
                     base, llm_params=params3["llm"],
                     head_params=params3["head"],
                     head_stacked=params3.get("head_stacked"),
                     projector_params=params3["proj"])
-                return generate_tokens(
-                    b, prompt_ids, prompt_pad, start_ids, pe, rng,
+
+            def fn_pre(params3, prompt_ids, prompt_pad, start_ids):
+                return prefill_t2i(
+                    rebind(params3), prompt_ids, prompt_pad, start_ids,
                     latent_h=latent_h, latent_w=latent_w, num_images=n,
-                    guidance_scale=cfg_scale, num_sampling_steps=steps,
                     kv_int8=self.kv_int8)
 
-            self._jitted[key] = jax.jit(fn)
+            def fn_dec(params3, cache, hidden, prompt_pad, pe, cfg_scale,
+                       rng):
+                return decode_t2i(
+                    rebind(params3), cache, hidden, prompt_pad, pe, rng,
+                    prompt_len=P, latent_h=latent_h, latent_w=latent_w,
+                    num_images=n, guidance_scale=cfg_scale,
+                    num_sampling_steps=steps)
+
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            fmt5 = Format(Layout((0, 1, 2, 3, 4)),
+                          SingleDeviceSharding(jax.devices()[0]))
+            cache_fmt = ({"kv": fmt5, "sc": fmt5} if self.kv_int8
+                         else {"k": fmt5, "v": fmt5})
+            self._jitted[key] = (
+                jax.jit(fn_pre, out_shardings=(cache_fmt, None)),
+                jax.jit(fn_dec, donate_argnums=(1,),
+                        in_shardings=(None, cache_fmt, None, None, None,
+                                      None, None),
+                        out_shardings=(None, cache_fmt)))
         return self._jitted[key]
 
     def _params3(self):
@@ -272,17 +363,25 @@ class T2IPipeline:
             pads.append(pad)
 
         pe = pos_embed_2d(self.pos_table, latent_h, latent_w, ps=b.ps)
-        fn = self._compiled(P, latent_h, latent_w, num_images,
-                            num_sampling_steps)
-        tokens = fn(
-            self._params3(),
+        fn_pre, fn_dec = self._compiled(P, latent_h, latent_w, num_images,
+                                        num_sampling_steps)
+        params3 = self._params3()
+        pads_arr = jnp.asarray(pads, jnp.int32)
+        cache, hidden = fn_pre(
+            params3,
             jnp.asarray(rows, jnp.int32),
-            jnp.asarray(pads, jnp.int32),
+            pads_arr,
             jnp.asarray(start_ids, jnp.int32),
-            pe,
+        )
+        tokens, dead_cache = fn_dec(
+            params3, cache, hidden, pads_arr, pe,
             jnp.float32(guidance_scale),
             jax.random.PRNGKey(seed),
         )
+        # the returned cache exists only as the donation target; drop the
+        # reference NOW — holding it through the VAE decode keeps 3.6GB
+        # (4-image 14B/1024px) alive alongside the decoder's feature maps
+        del dead_cache, cache, hidden
         # decode one image at a time: at 1024px the decoder's NHWC feature
         # maps are GBs per image, and with 14B weights resident a batched
         # decode OOMs where generation itself fits

@@ -103,3 +103,48 @@ def test_quantized_uncached_forward():
     got = np.asarray(q3.qwen3_forward(qparams, cfg, embeds, pos, blocks, docs))
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 0.05, rel
+
+
+def test_quantized_imagenet_backbone_decode():
+    """quantize_ar_params: the cached decode forward with W8A8 layer
+    matmuls stays close to the full-precision forward."""
+    from bitdance_tpu.models import imagenet_ar as iar
+
+    cfg = iar.config_s(parallel_num=1, resolution=64)
+    params = iar.init_ar_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = iar.quantize_ar_params(params)
+    assert isinstance(qparams["layers"]["wqkv"], QTensor)
+    assert qparams["layers"]["wqkv"].q.shape[0] == cfg.n_layer
+
+    b = 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 2, cfg.dim)) * 0.1
+    freqs = iar.freqs_cis_table(cfg)[:2]
+    cache = iar._init_cache(cfg, b, dtype=jnp.float32)
+    ref, _ = iar._forward_cached(params, cfg, x, freqs, cache,
+                                 jnp.int32(0), True)
+    got, _ = iar._forward_cached(qparams, cfg, x, freqs, cache,
+                                 jnp.int32(0), True)
+    rel = (np.linalg.norm(np.asarray(got - ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.05, rel
+
+
+def test_quantized_embed_gather_and_tied_logits():
+    """quantize_embed=True: int8 table gathers dequantized rows close to the
+    bf16 gather, and the tied-lm_head fallback still produces logits."""
+    cfg = q3.Qwen3Config.tiny()
+    params = q3.init_qwen3_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params.pop("lm_head", None)
+    qparams = q3.quantize_qwen3_params(params, quantize_embed=True)
+    assert isinstance(qparams["embed_tokens"], QTensor)
+
+    ids = jnp.asarray([[1, 5, 7], [2, 0, 3]], jnp.int32)
+    ref = np.asarray(q3.embed_tokens(params, ids))
+    got = np.asarray(q3.embed_tokens(qparams, ids)).astype(np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+
+    h = jax.random.normal(jax.random.PRNGKey(3), (2, 3, cfg.hidden_size))
+    logits = q3.lm_logits(qparams, cfg, h)
+    assert logits.shape == (2, 3, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
