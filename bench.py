@@ -93,6 +93,13 @@ def main():
                          "MXU int8 rate is ~2x bf16, worth ~8%% end-to-end "
                          "now that the 1x MLP head runs the whole-sampler "
                          "resident kernel)")
+    ap.add_argument("--backbone-int8", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="W8A8 int8 AR backbone matmuls (serving config; "
+                         "measured 32.9 -> 34.5 img/s at b256: the decode "
+                         "matmuls are MXU-rate-bound at M=512 rows and the "
+                         "s8 MXU path doubles the rate; "
+                         "models/imagenet_ar.py::quantize_ar_params)")
     args = ap.parse_args()
 
     # T2I measurements run first, in child processes, so the TPU is free
@@ -144,6 +151,12 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = init_ar_params(key, cfg, dtype=jnp.bfloat16)
+    if args.backbone_int8:
+        from bitdance_tpu.models.imagenet_ar import quantize_ar_params
+
+        # quantize OUTSIDE the sampling jit (pass as argument), else XLA
+        # remats the quantize chain into the AR scan bodies
+        params = jax.jit(quantize_ar_params)(params)
     head = make_head(cfg, dtype=jnp.bfloat16,
                      sample_weight_quant=args.head_int8)
     if cfg.parallel_num > 1:

@@ -29,6 +29,7 @@ from bitdance_tpu.ops.attention import (
     mask_from_ids,
     masked_attention,
 )
+from bitdance_tpu.ops.int8 import mm
 from bitdance_tpu.ops.norms import rms_norm
 from bitdance_tpu.ops.quantize import flip_bits_uniform_prob
 from bitdance_tpu.ops.rotary import (
@@ -196,6 +197,28 @@ def init_ar_params(key: jax.Array, cfg: ImageNetARConfig,
     if cfg.parallel_num > 1:
         params["query_token"] = dense(keys[8], (cfg.parallel_num - 1, D))
     return params
+
+
+_AR_QUANT_KEYS = ("wqkv", "wo", "ffn_w1", "ffn_w2")
+
+
+def quantize_ar_params(params: dict) -> dict:
+    """Int8-quantize the stacked per-layer matmul weights for SAMPLING.
+
+    W8A8 via ops/int8.py: the decode step is MXU-rate-bound at M=2*batch
+    rows (the cfg-doubled batch), and the MXU's native s8 path runs at
+    twice the bf16 rate — the same lever that won on the diffusion head.
+    Norm gains, embeddings, proj_in and pos tables stay in bf16 (tiny).
+    Quantize OUTSIDE jit and pass the result as an argument (tracing the
+    quantize chain into the sampler lets XLA remat it into scan bodies).
+    Training paths keep full-precision weights.
+    """
+    from bitdance_tpu.ops.int8 import quantize_linear
+
+    layers = dict(params["layers"])
+    for k in _AR_QUANT_KEYS:
+        layers[k] = quantize_linear(layers[k])
+    return dict(params, layers=layers)
 
 
 def proj_in(params: dict, x: jax.Array) -> jax.Array:
@@ -412,7 +435,7 @@ def _forward_cached(params, cfg: ImageNetARConfig, x, freqs_slice, cache,
         xx, k_all, v_all, ks_all, vs_all, li = carry
         lp = scanned
         h = rms_norm(xx, lp["attention_norm"])
-        qkv = h @ lp["wqkv"]
+        qkv = mm(h, lp["wqkv"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = apply_rope_paired(q.reshape(b, s, nh, hd), freqs_slice)
         k = apply_rope_paired(k.reshape(b, s, nh, hd), freqs_slice)
@@ -436,10 +459,10 @@ def _forward_cached(params, cfg: ImageNetARConfig, x, freqs_slice, cache,
             v_cache = v_cache.astype(jnp.float32) \
                 * win_slice(vs_all, li)[..., None]
         attn = attention_xla(q, k_cache, v_cache, mask)
-        xx = xx + attn.astype(xx.dtype).reshape(b, s, -1) @ lp["wo"]
+        xx = xx + mm(attn.astype(xx.dtype).reshape(b, s, -1), lp["wo"])
         h = rms_norm(xx, lp["ffn_norm"])
-        h1, h2 = jnp.split(h @ lp["ffn_w1"], 2, axis=-1)
-        xx = xx + (jax.nn.silu(h1) * h2) @ lp["ffn_w2"]
+        h1, h2 = jnp.split(mm(h, lp["ffn_w1"]), 2, axis=-1)
+        xx = xx + mm(jax.nn.silu(h1) * h2, lp["ffn_w2"])
         return (xx, k_all, v_all, ks_all, vs_all, li + 1), None
 
     zero = jnp.zeros((), jnp.float32)
