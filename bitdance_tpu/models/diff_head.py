@@ -446,13 +446,19 @@ class DiffHead(nn.Module):
         )
 
     def _can_fuse_sample(self, cond, cfg_mult) -> bool:
-        from bitdance_tpu.ops.fused_head import fused_net_available
+        from bitdance_tpu.ops.fused_head import (
+            fused_net_available,
+            streamed_em_available,
+        )
 
         rows = 1
         for d in cond.shape[:-1]:
             rows *= d
         return (self._sample_shape_ok(cond, cfg_mult)
-                and fused_net_available(self.ch_latent, rows, self.attention))
+                and (fused_net_available(self.ch_latent, rows,
+                                         self.attention)
+                     or streamed_em_available(self.ch_latent, rows,
+                                              self.attention)))
 
     def _can_stack_sample(self, cond, cfg_mult) -> bool:
         """Stacked XLA sampler: same precomputed-mods design as the fused
@@ -600,7 +606,10 @@ def make_fused_sampler(head: DiffHead, head_variables: dict | None,
 def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
                           num_sampling_steps: int, cfg_mult: int):
     """Sampler dispatch without a bound flax module (stacked-only mode)."""
-    from bitdance_tpu.ops.fused_head import fused_net_available
+    from bitdance_tpu.ops.fused_head import (
+        fused_net_available,
+        streamed_em_available,
+    )
 
     rows = 1
     for d in cond.shape[:-1]:
@@ -616,6 +625,8 @@ def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
         and (not head.attention or cond.shape[0] % 2 == 0)
     )
     assert ok, "stacked-only sampler requires the stacked-path shape contract"
-    use_kernel = fused_net_available(head.ch_latent, rows, head.attention)
+    use_kernel = (fused_net_available(head.ch_latent, rows, head.attention)
+                  or streamed_em_available(head.ch_latent, rows,
+                                           head.attention))
     return _run_fused_sample(head, stacked, cond, rng, cfg,
                              num_sampling_steps, use_kernel=use_kernel)

@@ -167,6 +167,35 @@ def _mmq(a, w, scale):
     return y.astype(jnp.float32) * (sa * scale)
 
 
+def _attn_from_qkv(qkv, *, n_head: int, groups: int, c_dim: int):
+    """Window attention over packed qkv [R, 3C] -> f32 [R, C].
+
+    Per-(group, head) unrolled dots: inside Pallas the MXU only takes 2-D
+    operands, and the [w, w] score tiles are tiny enough that the unroll
+    beats any reshape gymnastics. Softmax statistics in f32."""
+    rows = qkv.shape[0]
+    hd = c_dim // n_head
+    w = rows // groups
+    outs = []
+    for g in range(groups):
+        sl = slice(g * w, (g + 1) * w)
+        heads = []
+        for hh in range(n_head):
+            q = qkv[sl, hh * hd:(hh + 1) * hd] * (hd ** -0.5)
+            k = qkv[sl, c_dim + hh * hd: c_dim + (hh + 1) * hd]
+            v = qkv[sl, 2 * c_dim + hh * hd: 2 * c_dim + (hh + 1) * hd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            heads.append(jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        outs.append(jnp.concatenate(heads, axis=-1))
+    return jnp.concatenate(outs, axis=0)
+
+
 def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
                 n_head: int, groups: int, eps: float,
                 w1_s=None, w2_s=None, elem=jnp.float32):
@@ -191,28 +220,10 @@ def _block_body(h, mods, attn_w, n2, w1, b1, w2, b2, *,
 
     if attn_w is not None:
         n1, wqkv, bqkv, wo, bo, wqkv_s, wo_s = attn_w
-        hd = c_dim // n_head
         ha = moded(h, 0, n1)
         qkv = (_mmq(ha, wqkv, wqkv_s) + bqkv[None]).astype(elem)  # [R, 3C]
-        w = h.shape[0] // groups
-        outs = []
-        for g in range(groups):
-            sl = slice(g * w, (g + 1) * w)
-            heads = []
-            for hh in range(n_head):
-                q = qkv[sl, hh * hd:(hh + 1) * hd] * (hd ** -0.5)
-                k = qkv[sl, c_dim + hh * hd: c_dim + (hh + 1) * hd]
-                v = qkv[sl, 2 * c_dim + hh * hd: 2 * c_dim + (hh + 1) * hd]
-                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - m)
-                p = e / jnp.sum(e, axis=-1, keepdims=True)
-                heads.append(jax.lax.dot_general(
-                    p, v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            outs.append(jnp.concatenate(heads, axis=-1))
-        attn_out = jnp.concatenate(outs, axis=0).astype(elem)
+        attn_out = _attn_from_qkv(
+            qkv, n_head=n_head, groups=groups, c_dim=c_dim).astype(elem)
         proj = (_mmq(attn_out, wo, wo_s) + bo[None]).astype(elem)
         gate1 = mods[:, 2 * c_dim:3 * c_dim]
         h = h + proj * gate1
@@ -580,6 +591,358 @@ def _fused_em_kernel_resident(
         o_ref[...] = xf.astype(o_ref.dtype)
 
 
+def _fused_em_kernel_streamed(
+    # inputs
+    x0_ref, noise_ref, m0_ref, m1_ref, m2_ref, fm_ref,
+    t_sm, dt_sm, cfg_sm,
+    in_w_ref, in_b_ref, f_out_w_ref, f_out_b_ref,
+    n1_ref, n2_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    *rest,
+    num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
+    groups: int, bounded: bool, last_step_size: float, quant: bool,
+    tiles: tuple, eps: float = 1e-6,
+):
+    """Sub-block-TILED twin of _fused_em_kernel for heads whose PER-BLOCK
+    weights exceed VMEM (the 5120-wide 14B T2I head: w1 alone is 78MB int8).
+
+    grid = (num_steps+1, num_blocks, n_tiles): the innermost grid dim walks
+    column tiles of the four block matrices in stage order
+    (qkv -> attention+wo -> w1 -> glu+w2); each weight input's index_map
+    advances only during its stage and parks at the NEXT tile it will need,
+    so Pallas's revolving buffers double-buffer every tile DMA behind the
+    previous tile's MXU work — the whole sampler runs at the weight-DMA
+    roofline instead of XLA's serialize-load-then-dot pattern (measured
+    ~2.2x on the matmul chain at 14B-head shapes). Activations stay
+    VMEM-resident across the entire grid; per-stage activations are
+    quantized ONCE per row (identical semantics to _mmq's per-call row
+    quantization, which re-derives the same scales from the same rows).
+    """
+    rest = list(rest)
+    wqkv_s = wo_s = w1_s = w2_s = None
+    if quant:
+        wqkv_s, wo_s, w1_s, w2_s = rest[:4]
+        rest = rest[4:]
+        o_ref, x_vm, h_vm, buf_vm, a_vm, sa_vm = rest
+    else:
+        o_ref, x_vm, h_vm, buf_vm, a_vm = rest
+        sa_vm = None
+
+    t_q, t_o, t_1, t_2 = tiles
+    s1, s2, s3 = t_q, t_q + t_o, t_q + t_o + t_1
+    tt_all = s3 + t_2
+    s = pl.program_id(0)
+    l = pl.program_id(1)
+    t = pl.program_id(2)
+    half = x0_ref.shape[0]
+    c_dim = h_vm.shape[1]
+    hidden = w2_ref.shape[1]
+    tn = wqkv_ref.shape[2]
+    elem = n2_ref.dtype
+
+    def stage_quant(act):
+        """Row-quantize (or bf16-store) a stage's activations into a_vm.
+        act: f32 [R, K]. Scales persist in sa_vm across the stage's tiles."""
+        k_dim = act.shape[1]
+        if quant:
+            sa = jnp.maximum(
+                jnp.max(jnp.abs(act), axis=1, keepdims=True) / 127.0, 1e-12)
+            q = jnp.clip(jnp.round(act / sa), -127, 127).astype(jnp.int8)
+            a_vm[:, pl.dslice(0, k_dim)] = q
+            sa_vm[...] = jnp.broadcast_to(sa, sa_vm.shape)
+        else:
+            a_vm[:, pl.dslice(0, k_dim)] = act.astype(elem)
+
+    def stage_dot(k_dim, w_tile, w_s_tile):
+        """a_vm[:, :k_dim] @ w_tile -> f32 [R, tn] (s8 MXU path if quant)."""
+        a = a_vm[:, pl.dslice(0, k_dim)]
+        if quant:
+            y = jax.lax.dot_general(a, w_tile, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * (sa_vm[:, 0:1] * w_s_tile)
+        return jax.lax.dot_general(a, w_tile, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def lnmod(nrm, scale, shift):
+        """adaLN modulation of the residual stream (f32 stats)."""
+        ln = _ln(h_vm[...], eps) * nrm[0][None].astype(jnp.float32) \
+            + nrm[1][None].astype(jnp.float32)
+        return ln * (1.0 + scale.astype(jnp.float32)) \
+            + shift.astype(jnp.float32)
+
+    @pl.when((s == 0) & (l == 0) & (t == 0))
+    def _init():
+        x_vm[...] = x0_ref[...].astype(jnp.float32)
+
+    @pl.when((l == 0) & (t == 0))
+    def _proj_in():
+        x = x_vm[...]
+        combined = jnp.concatenate([x, x], axis=0)           # CFG rows
+        h_vm[...] = _dot(combined, in_w_ref) + in_b_ref[0][None]
+
+    # ---- stage A: qkv tiles -------------------------------------------------
+    @pl.when(t == 0)
+    def _mod_attn():
+        m0 = m0_ref[0]                                       # [R, 2C]
+        stage_quant(lnmod(n1_ref[0], m0[:, :c_dim], m0[:, c_dim:]))
+
+    @pl.when(t < t_q)
+    def _qkv_tile():
+        y = stage_dot(c_dim, wqkv_ref[0],
+                      wqkv_s[0, 0][None] if quant else None) \
+            + bqkv_ref[0, 0][None]
+        buf_vm[:, pl.dslice(t * tn, tn)] = y.astype(elem)
+
+    # ---- stage B: window attention, then wo tiles ---------------------------
+    @pl.when(t == s1)
+    def _attention():
+        qkv = buf_vm[:, pl.dslice(0, 3 * c_dim)]
+        stage_quant(_attn_from_qkv(qkv, n_head=n_head,
+                                   groups=groups, c_dim=c_dim))
+
+    @pl.when((t >= s1) & (t < s2))
+    def _wo_tile():
+        tt = t - s1
+        proj = stage_dot(c_dim, wo_ref[0],
+                         wo_s[0, 0][None] if quant else None) \
+            + bo_ref[0, 0][None]
+        gate1 = m1_ref[0, :, pl.dslice(tt * tn, tn)].astype(jnp.float32)
+        cur = h_vm[:, pl.dslice(tt * tn, tn)]
+        h_vm[:, pl.dslice(tt * tn, tn)] = cur + proj * gate1
+
+    # ---- stage C: w1 tiles --------------------------------------------------
+    @pl.when(t == s2)
+    def _mod_mlp():
+        scale_m = m1_ref[0][:, c_dim:]
+        shift_m = m2_ref[0][:, :c_dim]
+        stage_quant(lnmod(n2_ref[0], scale_m, shift_m))
+
+    @pl.when((t >= s2) & (t < s3))
+    def _w1_tile():
+        tt = t - s2
+        y = stage_dot(c_dim, w1_ref[0],
+                      w1_s[0, 0][None] if quant else None) \
+            + b1_ref[0, 0][None]
+        buf_vm[:, pl.dslice(tt * tn, tn)] = y.astype(elem)
+
+    # ---- stage D: glu, then w2 tiles ----------------------------------------
+    @pl.when(t == s3)
+    def _glu():
+        h1 = buf_vm[:, pl.dslice(0, hidden)].astype(jnp.float32)
+        h2 = buf_vm[:, pl.dslice(hidden, hidden)].astype(jnp.float32)
+        stage_quant(jax.nn.silu(h1) * h2)
+
+    @pl.when(t >= s3)
+    def _w2_tile():
+        tt = t - s3
+        y = stage_dot(hidden, w2_ref[0],
+                      w2_s[0, 0][None] if quant else None) \
+            + b2_ref[0, 0][None]
+        gate2 = m2_ref[0, :, pl.dslice(c_dim + tt * tn, tn)] \
+            .astype(jnp.float32)
+        cur = h_vm[:, pl.dslice(tt * tn, tn)]
+        h_vm[:, pl.dslice(tt * tn, tn)] = cur + y * gate2
+
+    # ---- epilogue: final layer + EM update ----------------------------------
+    @pl.when((l == num_blocks - 1) & (t == tt_all - 1))
+    def _em_step():
+        fmod = fm_ref[0].astype(jnp.float32)                 # [R, 2C]
+        z = _ln(h_vm[...], eps) * (1.0 + fmod[:, :c_dim]) \
+            + fmod[:, c_dim:]
+        out = _dot(z, f_out_w_ref) + f_out_b_ref[0][None]    # [R, ch]
+        if bounded:
+            out = 2.0 * jax.nn.sigmoid(out) - 1.0
+
+        tv = t_sm[s]
+        dt = dt_sm[s]
+        cfgv = cfg_sm[0]
+        x = x_vm[...]
+        combined = jnp.concatenate([x, x], axis=0)
+        v = (out - combined) / jnp.maximum(1.0 - tv, 0.05)
+        vc = v[half:] + cfgv * (v[:half] - v[half:])
+
+        @pl.when(s < num_steps)
+        def _stochastic():
+            var = jnp.square(1.0 - tv) + tv * (1.0 - tv)
+            score = (tv * vc - x) / var
+            drift = vc + (1.0 - tv) * score
+            ns = jnp.sqrt(2.0 * (1.0 - tv) * dt)
+            x_vm[...] = x + drift * dt \
+                + ns * noise_ref[0].astype(jnp.float32)
+
+        @pl.when(s == num_steps)
+        def _final_euler():
+            xf = x + vc * last_step_size
+            x_vm[...] = xf
+            o_ref[...] = xf.astype(o_ref.dtype)
+
+
+def _pick_stream_tile(c_dim: int, hidden: int) -> int | None:
+    """Largest weight-column tile that divides every stage width (3C, C, 2H)
+    and keeps the per-tile DMA in the MXU-saturating range."""
+    for tn in (1280, 1024, 640, 512, 256, 128):
+        if c_dim % tn == 0 and (2 * hidden) % tn == 0:
+            return tn
+    return None
+
+
+def streamed_em_available(c_dim: int, rows: int, attention: bool,
+                          hidden: int | None = None) -> bool:
+    """Feasibility of the sub-block-tiled streamed EM kernel: attention-
+    family SwiGLU heads with tileable widths. VMEM use is dominated by the
+    residual/activation scratch plus 2 revolving buffers per weight input.
+    BITDANCE_STREAMED_EM=0 disables the path (dispatch falls back to the
+    stacked XLA sampler)."""
+    import os
+
+    if os.environ.get("BITDANCE_STREAMED_EM", "1") == "0":
+        return False
+    if not attention or c_dim % 128 != 0:
+        return False
+    hidden = int(c_dim * 1.5) if hidden is None else hidden
+    tn = _pick_stream_tile(c_dim, hidden)
+    if tn is None:
+        return False
+    width = max(3 * c_dim, 2 * hidden)
+    scratch = rows * c_dim * 4 + rows * width * 2 + rows * hidden + rows * 512
+    weight_bufs = 2 * tn * (3 * c_dim + hidden) + 2 * 2 * rows * c_dim * 3
+    return scratch + weight_bufs < 110 * 1024 * 1024
+
+
+def _fused_em_sample_streamed(
+    stacked, x0, noise, allmods, t_all, dt_all, cfg, *,
+    num_blocks, switch_freq, n_head, groups, attention, bounded,
+    last_step_size, quant, num_steps, interpret,
+):
+    """pallas_call wrapper for _fused_em_kernel_streamed. `allmods` is the
+    standard combined layout [S+1, R, A*6C + 2C]; the kernel views it through
+    FOUR aliased inputs blocked in 2C-column units (mods pairs + final mods),
+    so no precompute-layout change is needed."""
+    assert attention, "streamed EM kernel is for the attention head family"
+    half, ch = x0.shape
+    rows = 2 * half
+    c_dim = stacked["w1"].shape[1]
+    hidden = stacked["w2"].shape[1]
+    tn = _pick_stream_tile(c_dim, hidden)
+    assert tn is not None, (c_dim, hidden)
+    t_q, t_o = 3 * c_dim // tn, c_dim // tn
+    t_1, t_2 = 2 * hidden // tn, c_dim // tn
+    s1, s2, s3 = t_q, t_q + t_o, t_q + t_o + t_1
+    tt_all = s3 + t_2
+    n_l = num_blocks
+    assert allmods.shape[2] % (2 * c_dim) == 0, allmods.shape
+    fm_block = allmods.shape[2] // (2 * c_dim) - 1
+
+    # --- index maps ---------------------------------------------------------
+    def nxt(l):
+        return jax.lax.rem(l + 1, n_l)
+
+    def wqkv_map(s, l, t):
+        on = t < t_q
+        return (jnp.where(on, l, nxt(l)), 0, jnp.where(on, t, 0))
+
+    def wo_map(s, l, t):
+        on = (t >= s1) & (t < s2)
+        return (jnp.where(t < s2, l, nxt(l)), 0,
+                jnp.where(on, t - s1, 0))
+
+    def w1_map(s, l, t):
+        on = (t >= s2) & (t < s3)
+        return (jnp.where(t < s3, l, nxt(l)), 0,
+                jnp.where(on, t - s2, 0))
+
+    def w2_map(s, l, t):
+        return (l, 0, jnp.where(t >= s3, t - s3, 0))
+
+    def clampmap(lo, n):
+        return lambda s, l, t: (l, 0, jnp.clip(t - lo, 0, n - 1))
+
+    def mods_map(j):
+        # allmods column blocks in 2C units: [g*3 + j for ada group g]
+        return lambda s, l, t: (s, 0, (l // switch_freq) * 3 + j)
+
+    const = lambda arr: pl.BlockSpec(
+        arr.shape, lambda s, l, t: (0,) * arr.ndim)
+    smem = lambda arr: pl.BlockSpec(
+        arr.shape, lambda s, l, t: (0,) * arr.ndim, memory_space=pltpu.SMEM)
+
+    def spec(block, index_map):
+        return pl.BlockSpec(block, index_map)
+
+    args = [
+        x0, noise, allmods, allmods, allmods, allmods,
+        t_all, dt_all, cfg.reshape(1),
+        stacked["in_w"], stacked["in_b"][None],
+        stacked["f_out_w"], stacked["f_out_b"][None],
+        stacked["n1"], stacked["n2"],
+        stacked["wqkv"], stacked["bqkv"], stacked["wo"], stacked["bo"],
+        stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
+    ]
+    mods_block = (1, rows, 2 * c_dim)
+    specs = [
+        const(x0),
+        spec((1,) + noise.shape[1:],
+             lambda s, l, t: (jnp.minimum(s, num_steps - 1), 0, 0)),
+        spec(mods_block, mods_map(0)),
+        spec(mods_block, mods_map(1)),
+        spec(mods_block, mods_map(2)),
+        spec(mods_block, lambda s, l, t: (s, 0, fm_block)),
+        smem(t_all), smem(dt_all), smem(cfg.reshape(1)),
+        const(stacked["in_w"]), const(stacked["in_b"][None]),
+        const(stacked["f_out_w"]), const(stacked["f_out_b"][None]),
+        spec((1,) + stacked["n1"].shape[1:], lambda s, l, t: (l, 0, 0)),
+        spec((1,) + stacked["n2"].shape[1:], lambda s, l, t: (l, 0, 0)),
+        spec((1, c_dim, tn), wqkv_map),
+        spec((1, 1, tn), clampmap(0, t_q)),
+        spec((1, c_dim, tn), wo_map),
+        spec((1, 1, tn), clampmap(s1, t_o)),
+        spec((1, c_dim, tn), w1_map),
+        spec((1, 1, tn), clampmap(s2, t_1)),
+        spec((1, hidden, tn), w2_map),
+        spec((1, 1, tn), clampmap(s3, t_2)),
+    ]
+    if quant:
+        args += [stacked["wqkv_s"], stacked["wo_s"],
+                 stacked["w1_s"], stacked["w2_s"]]
+        specs += [spec((1, 1, tn), clampmap(0, t_q)),
+                  spec((1, 1, tn), clampmap(s1, t_o)),
+                  spec((1, 1, tn), clampmap(s2, t_1)),
+                  spec((1, 1, tn), clampmap(s3, t_2))]
+
+    elem = stacked["n2"].dtype
+    width = max(3 * c_dim, 2 * hidden)
+    scratch = [
+        pltpu.VMEM((half, ch), jnp.float32),                 # x
+        pltpu.VMEM((rows, c_dim), jnp.float32),              # h (residual)
+        pltpu.VMEM((rows, width), elem),                     # qkv / h12
+        pltpu.VMEM((rows, max(c_dim, hidden)),
+                   jnp.int8 if quant else elem),             # stage acts
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM((rows, 128), jnp.float32))  # row scales
+
+    kernel = functools.partial(
+        _fused_em_kernel_streamed, num_blocks=num_blocks,
+        num_steps=num_steps, switch_freq=switch_freq, n_head=n_head,
+        groups=groups, bounded=bounded, last_step_size=last_step_size,
+        quant=quant, tiles=(t_q, t_o, t_1, t_2))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(num_steps + 1, num_blocks, tt_all),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(x0.shape, lambda s, l, t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def fused_em_sample(
     stacked: dict,
     x0: jax.Array,         # [half, ch] initial noise (cond rows only)
@@ -598,6 +961,7 @@ def fused_em_sample(
     last_step_size: float = 0.05,
     interpret: bool = False,
     resident: bool | None = None,
+    streamed: bool | None = None,
 ) -> jax.Array:
     """Entire EM sampling loop (sampling_x.py:44-97) as ONE kernel.
 
@@ -627,6 +991,24 @@ def fused_em_sample(
         resident = weight_bytes <= 48 * 1024 * 1024
     if resident:
         return _fused_em_sample_resident(
+            stacked, x0, noise, allmods, t_all, dt_all, cfg,
+            num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
+            groups=groups, attention=attention, bounded=bounded,
+            last_step_size=last_step_size, quant=quant,
+            num_steps=num_steps, interpret=interpret)
+
+    # per-(step, block) streaming needs a whole block's weights double-
+    # buffered in VMEM; beyond that (the 5120-wide 14B head) switch to the
+    # sub-block-tiled streamed kernel
+    if streamed is None:
+        streamed = 2 * weight_bytes // num_blocks > 60 * 1024 * 1024
+    if streamed:
+        rows = 2 * x0.shape[0]
+        c_dim = stacked["w1"].shape[1]
+        hidden = stacked["w2"].shape[1]
+        assert streamed_em_available(c_dim, rows, attention, hidden), \
+            (c_dim, rows, attention, hidden)
+        return _fused_em_sample_streamed(
             stacked, x0, noise, allmods, t_all, dt_all, cfg,
             num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
             groups=groups, attention=attention, bounded=bounded,

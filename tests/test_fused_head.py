@@ -320,3 +320,39 @@ def test_fused_em_resident_matches_per_block(attention):
                           jnp.float32(2.0), resident=True, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_fused_em_streamed_matches_per_block(quant):
+    """The sub-block-tiled streamed kernel (beyond-VMEM per-block weights,
+    the 14B T2I head geometry) == the per-(step, block) kernel on identical
+    inputs, int8 W8A8 included."""
+    from bitdance_tpu.ops.fused_head import (
+        em_precompute,
+        fused_em_sample,
+        stack_diffnet_params,
+        streamed_em_available,
+    )
+
+    net, params = _net_and_params(True)
+    steps = 3
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(net, params, True,
+                                                        steps)
+    x0f = x0.reshape(-1, 8)
+    rng = np.random.default_rng(11)
+    noise = jnp.asarray(rng.normal(size=(steps,) + x0f.shape), jnp.float32)
+
+    assert streamed_em_available(256, 2 * x0f.shape[0], True, hidden=384)
+    stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32,
+                                   quant=quant)
+    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+    kw = dict(num_blocks=4, num_ada=2, n_head=2, groups=groups,
+              attention=True, bounded=True, interpret=True)
+    want = fused_em_sample(stacked, x0f, noise, allmods, t_all, dt_all,
+                           jnp.float32(2.0), resident=False, streamed=False,
+                           **kw)
+    got = fused_em_sample(stacked, x0f, noise, allmods, t_all, dt_all,
+                          jnp.float32(2.0), resident=False, streamed=True,
+                          **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
