@@ -93,6 +93,11 @@ def main():
                          "MXU int8 rate is ~2x bf16, worth ~8%% end-to-end "
                          "now that the 1x MLP head runs the whole-sampler "
                          "resident kernel)")
+    ap.add_argument("--vae-int8", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="W8A8 int8 trunk convs in the VAE decoder "
+                         "(models/tokenizer.py::Conv2D). Off until the s8 "
+                         "conv MXU rate is confirmed on hardware.")
     ap.add_argument("--backbone-int8", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="W8A8 int8 AR backbone matmuls (serving config; "
@@ -147,7 +152,7 @@ def main():
               ch_mult=[1, 1, 2, 2, 4], num_res_blocks=res_blocks)
     # decode in bf16: conv compute dtype (params stay f32);
     # GroupNorm statistics are fp32 inside the module
-    ae = VQModel(ddconfig=dd, dtype=jnp.bfloat16)
+    ae = VQModel(ddconfig=dd, dtype=jnp.bfloat16, conv_int8=args.vae_int8)
 
     key = jax.random.PRNGKey(0)
     params = init_ar_params(key, cfg, dtype=jnp.bfloat16)

@@ -45,6 +45,59 @@ class GroupNorm32(nn.Module):
         return group_norm(x, 32, w, b, self.eps)
 
 
+class Conv2D(nn.Module):
+    """nn.Conv-compatible NHWC conv (identical param tree: 'kernel' HWIO +
+    optional 'bias') with an opt-in W8A8 int8 path for serving.
+
+    quant=True quantizes the kernel per-output-channel and the activations
+    per-image (symmetric, dynamic) and runs the conv as s8 x s8 -> s32 on
+    the MXU — the VAE decoder is conv-compute-bound at 256px, so the int8
+    rate is the remaining decode lever. Checkpoints are unchanged: weights
+    stay stored in bf16/f32 and quantize per call (the decoder's ~50MB of
+    kernels re-quantize once per decode, noise vs the conv FLOPs)."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        pad = ((self.padding, self.padding),) * 2
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not self.quant:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, pad, dimension_numbers=dn)
+        else:
+            w = kernel.astype(jnp.float32)
+            ws = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)),
+                             1e-12) / 127.0                       # [out]
+            wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+            xf = x.astype(jnp.float32)
+            xs = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True),
+                1e-12) / 127.0                                    # [B,1,1,1]
+            xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, self.strides, pad, dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = (y.astype(jnp.float32)
+                 * (xs * ws[None, None, None, :])).astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ResBlock(nn.Module):
     """Pre-GN swish conv block (autoencoder.py:13-57)."""
 
@@ -52,18 +105,22 @@ class ResBlock(nn.Module):
     out_filters: int
     use_agn: bool = False
     dtype: jnp.dtype = jnp.float32
+    conv_int8: bool = False
 
     def setup(self):
         if not self.use_agn:
             self.norm1 = GroupNorm32(self.in_filters)
         self.norm2 = GroupNorm32(self.out_filters)
-        self.conv1 = nn.Conv(self.out_filters, (3, 3), padding=1, use_bias=False,
-                             dtype=self.dtype)
-        self.conv2 = nn.Conv(self.out_filters, (3, 3), padding=1, use_bias=False,
-                             dtype=self.dtype)
+        self.conv1 = Conv2D(self.out_filters, (3, 3), padding=1,
+                            use_bias=False, dtype=self.dtype,
+                            quant=self.conv_int8)
+        self.conv2 = Conv2D(self.out_filters, (3, 3), padding=1,
+                            use_bias=False, dtype=self.dtype,
+                            quant=self.conv_int8)
         if self.in_filters != self.out_filters:
-            self.nin_shortcut = nn.Conv(self.out_filters, (1, 1), use_bias=False,
-                                        dtype=self.dtype)
+            self.nin_shortcut = Conv2D(self.out_filters, (1, 1),
+                                       use_bias=False, dtype=self.dtype,
+                                       quant=self.conv_int8)
 
     def __call__(self, x):
         residual = x
@@ -153,9 +210,11 @@ class Upsampler(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    conv_int8: bool = False
 
     def setup(self):
-        self.conv1 = nn.Conv(self.dim * 4, (3, 3), padding=1, dtype=self.dtype)
+        self.conv1 = Conv2D(self.dim * 4, (3, 3), padding=1,
+                            dtype=self.dtype, quant=self.conv_int8)
 
     def __call__(self, x):
         return depth_to_space(self.conv1(x), 2)
@@ -204,6 +263,10 @@ class Decoder(nn.Module):
     out_ch: int = 3
     gan_decoder: bool = False
     dtype: jnp.dtype = jnp.float32
+    # W8A8 int8 trunk convs (serving config); conv_in/conv_out stay in the
+    # module dtype — the first conv sees ±1 latents and the last one writes
+    # RGB, where quantization error is most visible
+    conv_int8: bool = False
 
     def setup(self):
         num_blocks = len(self.ch_mult)
@@ -213,7 +276,8 @@ class Decoder(nn.Module):
         self.conv_in = nn.Conv(block_in, (3, 3), padding=1, use_bias=True,
                                dtype=self.dtype)
         self.mid_block = [
-            ResBlock(block_in, block_in, dtype=self.dtype)
+            ResBlock(block_in, block_in, dtype=self.dtype,
+                     conv_int8=self.conv_int8)
             for _ in range(self.num_res_blocks)
         ]
         ups = []
@@ -224,11 +288,13 @@ class Decoder(nn.Module):
             adaptive.insert(0, AdaptiveGroupNorm(self.z_channels, bi, dtype=self.dtype))
             blocks = []
             for _ in range(self.num_res_blocks):
-                blocks.append(ResBlock(bi, block_out, dtype=self.dtype))
+                blocks.append(ResBlock(bi, block_out, dtype=self.dtype,
+                                       conv_int8=self.conv_int8))
                 bi = block_out
             level = {"block": blocks}
             if i_level > 0:
-                level["upsample"] = Upsampler(bi, dtype=self.dtype)
+                level["upsample"] = Upsampler(bi, dtype=self.dtype,
+                                              conv_int8=self.conv_int8)
             ups.insert(0, level)
         self.up = ups
         self.adaptive = adaptive
@@ -267,6 +333,7 @@ class VQModel(nn.Module):
     ddconfig: dict
     gan_decoder: bool = False
     dtype: jnp.dtype = jnp.float32
+    conv_int8: bool = False
 
     def setup(self):
         dd = dict(self.ddconfig)
@@ -286,6 +353,7 @@ class VQModel(nn.Module):
             out_ch=dd.get("out_ch", 3),
             gan_decoder=self.gan_decoder,
             dtype=self.dtype,
+            conv_int8=self.conv_int8,
         )
 
     @property

@@ -92,4 +92,50 @@ gnorms = [float(jnp.linalg.norm(g.astype(jnp.float32))) for g in grads]
 print("flash bwd on TPU: |dq|,|dk|,|dv| =", [round(g, 1) for g in gnorms])
 assert all(np.isfinite(g) and g > 0 for g in gnorms)
 
+# --- 5. STREAMED whole-sampler EM kernel (beyond-VMEM head family) vs the ---
+# --- stacked XLA sampler on real hardware (the 14B T2I head's fast path)  ---
+from bitdance_tpu.ops import fused_head as fh  # noqa: E402
+
+Cs, Hs, chs, Ls, adas, Rs, steps_s = 1024, 1536, 32, 4, 2, 64, 6
+ks = jax.random.split(jax.random.PRNGKey(21), 8)
+net_s = DiffHead(ch_target=chs, ch_cond=Cs, ch_latent=Cs,
+                 depth_latent=Ls, depth_adanln=adas, parallel_num=16,
+                 use_swiglu=True, P_mean=-0.8, P_std=0.8,
+                 sample_weight_quant=True)
+x_s = jnp.zeros((2, 16, chs))
+c_s = jax.random.normal(ks[0], (2, 16, Cs)) * 0.02
+hp_s = jax.jit(net_s.init)(ks[1], x_s, c_s, ks[2])
+stacked_s = jax.jit(
+    lambda v: net_s.apply(v, method=DiffHead._stack_for_sampler))(hp_s)
+x0_s = jax.random.normal(ks[3], (Rs // 2, chs), jnp.float32)
+noise_s = jax.random.normal(ks[4], (steps_s, Rs // 2, chs), jnp.float32)
+t_s = jnp.linspace(0.0, 0.95, steps_s + 1).astype(jnp.float32)
+dt_s = jnp.concatenate([t_s[1:] - t_s[:-1], jnp.zeros((1,), jnp.float32)])
+c_emb_s = jax.random.normal(ks[5], (Rs, Cs), jnp.float32) * 0.02
+kw_s = dict(num_blocks=Ls, num_ada=adas, n_head=Cs // 128, groups=4,
+            attention=True, bounded=True)
+
+
+@jax.jit
+def _run_streamed(stacked, x0, noise, c_emb):
+    allmods = fh.em_precompute(stacked, c_emb, t_s, out_dtype=jnp.bfloat16)
+    return fh.fused_em_sample(stacked, x0, noise, allmods, t_s, dt_s,
+                              jnp.float32(4.0), resident=False,
+                              streamed=True, **kw_s)
+
+
+@jax.jit
+def _run_stacked(stacked, x0, noise, c_emb):
+    return fh.em_sample_stacked(stacked, x0, noise, None, t_s, dt_s,
+                                jnp.float32(4.0), c_emb=c_emb, **kw_s)
+
+
+o_streamed = np.asarray(_run_streamed(stacked_s, x0_s, noise_s, c_emb_s))
+o_stacked = np.asarray(_run_stacked(stacked_s, x0_s, noise_s, c_emb_s))
+rel_s = np.linalg.norm(o_streamed - o_stacked) / max(
+    np.linalg.norm(o_stacked), 1e-9)
+print("streamed EM kernel vs stacked XLA sampler rel err:", round(rel_s, 5))
+assert np.isfinite(o_streamed).all()
+assert rel_s < 0.05, rel_s  # bf16 elementwise noise over 6 EM steps
+
 print("ALL DRIVES PASSED ON", jax.default_backend().upper())

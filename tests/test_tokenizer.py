@@ -137,3 +137,32 @@ def test_fused_encode_tail_matches_flax():
         quantize=False, interpret=True))
     np.testing.assert_allclose(got_raw, np.asarray(want_raw),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_decoder_conv_int8_parity():
+    """conv_int8=True reuses the exact same param tree and stays within
+    int8 quantization error of the bf16/f32 decode."""
+    import numpy as np
+
+    dd = dict(z_channels=16, in_channels=3, out_ch=3, ch=32,
+              ch_mult=[1, 2], num_res_blocks=1)
+    ae = VQModel(ddconfig=dd)
+    ae_q = VQModel(ddconfig=dd, conv_int8=True)
+    z = jnp.sign(jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16)))
+    params = jax.jit(
+        lambda k, z: ae.init(k, z, method=VQModel.decode)
+    )(jax.random.PRNGKey(1), z)
+    params_q = jax.jit(
+        lambda k, z: ae_q.init(k, z, method=VQModel.decode)
+    )(jax.random.PRNGKey(1), z)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_q)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_q)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    want = ae.apply(params, z, method=VQModel.decode)
+    got = ae_q.apply(params, z, method=VQModel.decode)
+    rel = (np.linalg.norm(np.asarray(got - want))
+           / np.linalg.norm(np.asarray(want)))
+    assert rel < 0.08, rel          # dynamic per-image/per-channel int8
+    assert got.shape == want.shape
