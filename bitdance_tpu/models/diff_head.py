@@ -454,11 +454,13 @@ class DiffHead(nn.Module):
         rows = 1
         for d in cond.shape[:-1]:
             rows *= d
+        itemsize = 1 if self.sample_weight_quant else 2
         return (self._sample_shape_ok(cond, cfg_mult)
                 and (fused_net_available(self.ch_latent, rows,
                                          self.attention)
-                     or streamed_em_available(self.ch_latent, rows,
-                                              self.attention)))
+                     or streamed_em_available(
+                         self.ch_latent, rows, self.attention,
+                         weight_itemsize=itemsize)))
 
     def _can_stack_sample(self, cond, cfg_mult) -> bool:
         """Stacked XLA sampler: same precomputed-mods design as the fused
@@ -626,7 +628,8 @@ def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
     )
     assert ok, "stacked-only sampler requires the stacked-path shape contract"
     use_kernel = (fused_net_available(head.ch_latent, rows, head.attention)
-                  or streamed_em_available(head.ch_latent, rows,
-                                           head.attention))
+                  or streamed_em_available(
+                      head.ch_latent, rows, head.attention,
+                      weight_itemsize=1 if head.sample_weight_quant else 2))
     return _run_fused_sample(head, stacked, cond, rng, cfg,
                              num_sampling_steps, use_kernel=use_kernel)

@@ -778,20 +778,33 @@ def _fused_em_kernel_streamed(
             o_ref[...] = xf.astype(o_ref.dtype)
 
 
-def _pick_stream_tile(c_dim: int, hidden: int) -> int | None:
+def _pick_stream_tile(c_dim: int, hidden: int, rows: int,
+                      weight_itemsize: int = 1) -> int | None:
     """Largest weight-column tile that divides every stage width (3C, C, 2H)
-    and keeps the per-tile DMA in the MXU-saturating range."""
+    AND fits the kernel's total VMEM model: double-buffered tiles for the
+    four weight inputs + four [R, 2C] revolving mods blocks + the resident
+    activation scratch. Larger tiles amortize grid-step overhead; anything
+    >=512 columns keeps the per-tile DMA in the HBM-saturating range."""
+    width = max(3 * c_dim, 2 * hidden)
+    scratch = (rows * c_dim * 4            # h residual (f32)
+               + rows * width * 2          # qkv/h12 buffer (bf16)
+               + rows * max(c_dim, hidden)  # stage acts (int8/bf16 <= 2B)
+               + rows * 512 * 4)           # row scales + x state slack
+    mods = 4 * 2 * rows * 2 * c_dim * 2    # 4 aliased inputs, 2 buffers, bf16
     for tn in (1280, 1024, 640, 512, 256, 128):
-        if c_dim % tn == 0 and (2 * hidden) % tn == 0:
+        if c_dim % tn or (2 * hidden) % tn:
+            continue
+        weights = 2 * tn * (3 * c_dim + hidden) * weight_itemsize
+        if scratch + mods + weights < 112 * 1024 * 1024:
             return tn
     return None
 
 
 def streamed_em_available(c_dim: int, rows: int, attention: bool,
-                          hidden: int | None = None) -> bool:
+                          hidden: int | None = None,
+                          weight_itemsize: int = 1) -> bool:
     """Feasibility of the sub-block-tiled streamed EM kernel: attention-
-    family SwiGLU heads with tileable widths. VMEM use is dominated by the
-    residual/activation scratch plus 2 revolving buffers per weight input.
+    family SwiGLU heads with tileable widths that fit the VMEM model.
     BITDANCE_STREAMED_EM=0 disables the path (dispatch falls back to the
     stacked XLA sampler)."""
     import os
@@ -801,13 +814,7 @@ def streamed_em_available(c_dim: int, rows: int, attention: bool,
     if not attention or c_dim % 128 != 0:
         return False
     hidden = int(c_dim * 1.5) if hidden is None else hidden
-    tn = _pick_stream_tile(c_dim, hidden)
-    if tn is None:
-        return False
-    width = max(3 * c_dim, 2 * hidden)
-    scratch = rows * c_dim * 4 + rows * width * 2 + rows * hidden + rows * 512
-    weight_bufs = 2 * tn * (3 * c_dim + hidden) + 2 * 2 * rows * c_dim * 3
-    return scratch + weight_bufs < 110 * 1024 * 1024
+    return _pick_stream_tile(c_dim, hidden, rows, weight_itemsize) is not None
 
 
 def _fused_em_sample_streamed(
@@ -824,8 +831,9 @@ def _fused_em_sample_streamed(
     rows = 2 * half
     c_dim = stacked["w1"].shape[1]
     hidden = stacked["w2"].shape[1]
-    tn = _pick_stream_tile(c_dim, hidden)
-    assert tn is not None, (c_dim, hidden)
+    tn = _pick_stream_tile(c_dim, hidden, rows,
+                           stacked["w1"].dtype.itemsize)
+    assert tn is not None, (c_dim, hidden, rows)
     t_q, t_o = 3 * c_dim // tn, c_dim // tn
     t_1, t_2 = 2 * hidden // tn, c_dim // tn
     s1, s2, s3 = t_q, t_q + t_o, t_q + t_o + t_1
@@ -1006,8 +1014,9 @@ def fused_em_sample(
         rows = 2 * x0.shape[0]
         c_dim = stacked["w1"].shape[1]
         hidden = stacked["w2"].shape[1]
-        assert streamed_em_available(c_dim, rows, attention, hidden), \
-            (c_dim, rows, attention, hidden)
+        assert streamed_em_available(
+            c_dim, rows, attention, hidden,
+            stacked["w1"].dtype.itemsize), (c_dim, rows, attention, hidden)
         return _fused_em_sample_streamed(
             stacked, x0, noise, allmods, t_all, dt_all, cfg,
             num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
