@@ -134,9 +134,15 @@ def stack_diffnet_params(net_params: dict, num_blocks: int,
 
 
 def _ln(x, eps=1e-6):
+    """LayerNorm statistics in one read: E[x^2]-E[x]^2 instead of the
+    two-pass centered variance — the resident EM kernels are VPU-bound on
+    the LN chain (~15% of the imagenet head step), and the one-pass form
+    drops a full [R, C] f32 traversal. |x|~O(1) keeps the cancellation
+    benign in f32."""
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    meansq = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
