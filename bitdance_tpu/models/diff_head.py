@@ -534,7 +534,24 @@ def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,
         last_step_size=last_step)
     cfg_arr = jnp.asarray(cfg, jnp.float32)
     if use_kernel:
-        allmods = em_precompute(stacked, c_emb, t_all, out_dtype=mods_dtype)
+        # chunk the precompute when the [S*R, W] f32 matmul intermediate
+        # would be GBs (14B width): the whole-sampler kernel still consumes
+        # ONE concatenated bf16 buffer, but each chunk's f32 dot output
+        # stays ~100s of MB even if XLA doesn't fuse the bf16 convert
+        width = stacked["modcat_w"].shape[1]
+        steps_total = num_sampling_steps + 1
+        inter_bytes = steps_total * rows * width * 4
+        if inter_bytes > 1024 * 1024 * 1024:
+            chunk = max(1, (1024 * 1024 * 1024) // (rows * width * 4))
+            parts = [
+                em_precompute(stacked, c_emb, t_all[i:i + chunk],
+                              out_dtype=mods_dtype)
+                for i in range(0, steps_total, chunk)
+            ]
+            allmods = jnp.concatenate(parts, axis=0)
+        else:
+            allmods = em_precompute(stacked, c_emb, t_all,
+                                    out_dtype=mods_dtype)
         out = fused_em_sample(stacked, x0, noise, allmods, t_all, dt_all,
                               cfg_arr, **common)
     else:
