@@ -50,6 +50,11 @@ def run_t2i_subprocess(extra_args, timeout_s=480, retries=1):
     # extending PYTHONPATH both break plugin discovery
     env = dict(os.environ)
     for attempt in range(retries + 1):
+        if attempt == retries and retries > 0:
+            # last try: disable the streamed EM kernel in case the failure
+            # is a Mosaic/VMEM rejection of the new fast path — a slower
+            # flagship number beats a null one
+            env["BITDANCE_STREAMED_EM"] = "0"
         try:
             r = subprocess.run(
                 [sys.executable, "-m", "benchmarks.bench_t2i", "--iters", "2"]
