@@ -24,6 +24,8 @@ def make_stacked(key, C, H, ch, L, ada, quant, dtype=jnp.bfloat16):
     n = lambda *s: (jax.random.normal(next(ks), s, jnp.float32) * 0.02)
 
     def q(w):
+        if quant == "int4":
+            return fh.quantize_cols_int4(w)
         if quant:
             return fh.quantize_cols(w)
         return w.astype(dtype), None
@@ -131,10 +133,11 @@ def run_case(C, H, ch, L, ada, R, steps, quant, n_head, groups, iters=3,
 
 if __name__ == "__main__":
     if MODE in ("small", "both"):
-        print("small parity case: C=1024 H=1536 L=6 R=64 quant=True",
-              flush=True)
-        run_case(C=1024, H=1536, ch=32, L=6, ada=2, R=64, steps=8,
-                 quant=True, n_head=8, groups=2, check_parity=True)
+        for quant in (True, "int4"):
+            print(f"small parity case: C=1024 H=1536 L=6 R=64 "
+                  f"quant={quant}", flush=True)
+            run_case(C=1024, H=1536, ch=32, L=6, ada=2, R=64, steps=8,
+                     quant=quant, n_head=8, groups=2, check_parity=True)
 
     if MODE in ("big", "both"):
         for quant in (True,):
@@ -142,3 +145,9 @@ if __name__ == "__main__":
                   f"quant={quant}", flush=True)
             run_case(C=5120, H=7680, ch=32, L=6, ada=2, R=256, steps=50,
                      quant=quant, n_head=40, groups=4)
+
+    if MODE == "big4":
+        print("14B-head geometry: C=5120 H=7680 L=6 R=256 steps=50 "
+              "quant=int4", flush=True)
+        run_case(C=5120, H=7680, ch=32, L=6, ada=2, R=256, steps=50,
+                 quant="int4", n_head=40, groups=4)

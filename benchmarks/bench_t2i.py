@@ -70,6 +70,9 @@ def main():
                          "in this file.")
     ap.add_argument("--quant-head", action="store_true",
                     help="int8 weight-only quantized fused head sampler")
+    ap.add_argument("--head-int4", action="store_true",
+                    help="packed int4 weight-only head sampler (W4A8; "
+                         "halves the streamed kernel's weight DMA again)")
     ap.add_argument("--kv-int8", action="store_true",
                     help="fused int8 KV ring buffer (4x smaller than bf16 "
                          "k+v; enables multi-image 14B batches)")
@@ -123,7 +126,9 @@ def main():
     head = DiffHead(ch_target=z, ch_cond=hidden, ch_latent=hidden,
                     depth_latent=6, depth_adanln=2, parallel_num=p,
                     use_swiglu=True, P_mean=-0.8, P_std=0.8,
-                    dtype=jnp.bfloat16, sample_weight_quant=args.quant_head)
+                    dtype=jnp.bfloat16,
+                    sample_weight_quant=("int4" if args.head_int4
+                                         else args.quant_head))
     hp = to_bf16(jax.jit(head.init)(
         jax.random.PRNGKey(2), jnp.zeros((2, p, z)),
         jnp.zeros((2, p, hidden)), jax.random.PRNGKey(3)))
@@ -172,6 +177,7 @@ def main():
     num_steps = (args.height // 16) * (width // 16) // p
     tag = " REAL-14B-GEOM" if args.real_14b else ""
     tag += " int8-llm" if args.quant_llm else ""
+    tag += " int4-head" if args.head_int4 else ""
     tag += " int8-kv" if args.kv_int8 else ""
     print(f"{args.height}x{width} p={p} ({num_steps} AR steps x {args.steps} "
           f"diff steps), llm {args.layers}L/{hidden}d{tag}: "

@@ -28,6 +28,12 @@ from bitdance_tpu.models.sampling import euler_maruyama, time_shift
 from bitdance_tpu.ops.norms import layer_norm
 
 
+def _quant_itemsize(quant: bool | str) -> float:
+    """Effective bytes/element of the sampler's streamed block weights under
+    the sample_weight_quant setting (bf16 / int8 / packed-int4)."""
+    return 0.5 if quant == "int4" else (1 if quant else 2)
+
+
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0,
                        time_factor: float = 1000.0) -> jax.Array:
     """Sinusoidal timestep embedding, cos-first (flow_head_parallel_x.py:12-27)."""
@@ -350,10 +356,11 @@ class DiffHead(nn.Module):
     bounded_output: bool | None = None
     attn_head_dim: int = 128
     dtype: Any = jnp.float32
-    # int8 weight-only quantization for the fused TPU sampler: the sampler
-    # is HBM-bound on block weights, so this ~halves sampling time; opt-in
-    # because it perturbs outputs at the ~1e-2 level pre-sign.
-    sample_weight_quant: bool = False
+    # weight-only quantization for the fused TPU sampler: the sampler is
+    # HBM-bound on block weights, so True (int8 W8A8) ~halves sampling time
+    # and "int4" (packed W4A8) halves the weight DMA again; opt-in because
+    # it perturbs outputs at the ~1e-2 (int8) / ~1e-1 (int4) level pre-sign.
+    sample_weight_quant: bool | str = False
 
     def setup(self):
         self.net = DiffNet(
@@ -454,7 +461,7 @@ class DiffHead(nn.Module):
         rows = 1
         for d in cond.shape[:-1]:
             rows *= d
-        itemsize = 1 if self.sample_weight_quant else 2
+        itemsize = _quant_itemsize(self.sample_weight_quant)
         return (self._sample_shape_ok(cond, cfg_mult)
                 and (fused_net_available(self.ch_latent, rows,
                                          self.attention)
@@ -647,6 +654,7 @@ def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
     use_kernel = (fused_net_available(head.ch_latent, rows, head.attention)
                   or streamed_em_available(
                       head.ch_latent, rows, head.attention,
-                      weight_itemsize=1 if head.sample_weight_quant else 2))
+                      weight_itemsize=_quant_itemsize(
+                          head.sample_weight_quant)))
     return _run_fused_sample(head, stacked, cond, rng, cfg,
                              num_sampling_steps, use_kernel=use_kernel)

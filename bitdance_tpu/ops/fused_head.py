@@ -47,9 +47,37 @@ def quantize_cols(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q.astype(jnp.int8), scale
 
 
+def quantize_cols_int4(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-column int4 weight-only quantization, PACKED
+    two values per int8 byte along the contraction dim: byte [k, n] holds
+    row k in the low nibble and row k + K/2 in the high nibble (block
+    packing, so the matmul unpacks into two contiguous half-K dots instead
+    of a lane-interleaved shuffle). Returns (packed int8 [K//2, N],
+    f32 scales [1, N])."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    kh = q.shape[0] // 2
+    assert 2 * kh == q.shape[0], q.shape
+    packed = jnp.bitwise_or(jnp.bitwise_and(q[:kh], jnp.int8(0xF)),
+                            jnp.left_shift(q[kh:], 4))
+    return packed.astype(jnp.int8), scale
+
+
+def _unpack_int4(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Inverse of quantize_cols_int4's packing: int8 bytes [K//2, N] ->
+    (lo, hi) int8 nibble planes, each [K//2, N], sign-extended. Shift-based
+    so it lowers to plain arith ops on the VPU."""
+    w32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28).astype(jnp.int8)
+    hi = jnp.right_shift(w32, 4).astype(jnp.int8)
+    return lo, hi
+
+
 def stack_diffnet_params(net_params: dict, num_blocks: int,
                          attention: bool, dtype=jnp.bfloat16,
-                         quant: bool = False) -> dict:
+                         quant: bool | str = False) -> dict:
     """DiffNet flax tree -> stacked [L, ...] arrays for the fused kernel.
 
     Call ONCE outside the sampler loop (e.g. at the top of DiffHead.sample):
@@ -58,16 +86,21 @@ def stack_diffnet_params(net_params: dict, num_blocks: int,
     quant=True stores the big per-block matrices (wqkv, wo, w1, w2) as int8
     with per-column scales — the sampler is HBM-bound on these weights, so
     halving their bytes nearly halves the whole head; dequantization rides
-    the VPU inside the kernel.
+    the VPU inside the kernel. quant="int4" packs them two-per-byte
+    (quantize_cols_int4) for another 2x off the weight DMA; the samplers
+    detect the packing structurally (stored K == logical K/2) and unpack
+    in-kernel. The modcat projection stays int8 either way (it is read once
+    per AR step, not once per net call).
     """
     p = net_params
     blk = [p[f"block_{i}"] for i in range(num_blocks)]
+    qfn = quantize_cols_int4 if quant == "int4" else quantize_cols
 
     def stack(getter):
         return jnp.stack([getter(b).astype(dtype) for b in blk])
 
     def stack_q(getter):
-        qs = [quantize_cols(getter(b)) for b in blk]
+        qs = [qfn(getter(b)) for b in blk]
         return (jnp.stack([q for q, _ in qs]),
                 jnp.stack([s for _, s in qs]))
 
@@ -168,6 +201,16 @@ def _mmq(a, w, scale):
     sa = jnp.maximum(jnp.max(jnp.abs(a), axis=1, keepdims=True) / 127.0,
                      1e-12)
     aq = jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8)
+    if 2 * w.shape[0] == a.shape[1]:
+        # int4-packed along K (quantize_cols_int4): unpack the nibble
+        # planes and contract each against its half of the activations
+        lo, hi = _unpack_int4(w)
+        kh = w.shape[0]
+        y = (jax.lax.dot_general(aq[:, :kh], lo, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+             + jax.lax.dot_general(aq[:, kh:], hi, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32))
+        return y.astype(jnp.float32) * (sa * scale)
     y = jax.lax.dot_general(aq, w, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     return y.astype(jnp.float32) * (sa * scale)
@@ -545,7 +588,7 @@ def _fused_em_kernel_resident(
 
     s = pl.program_id(0)
     half = x0_ref.shape[0]
-    c_dim = w1_ref.shape[1]
+    c_dim = n2_ref.shape[-1]
     n_mods = 6 if attention else 3
 
     @pl.when(s == 0)
@@ -608,7 +651,7 @@ def _fused_em_kernel_streamed(
     *rest,
     num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
     groups: int, bounded: bool, last_step_size: float, quant: bool,
-    tiles: tuple, eps: float = 1e-6,
+    tiles: tuple, hidden: int, eps: float = 1e-6,
 ):
     """Sub-block-TILED twin of _fused_em_kernel for heads whose PER-BLOCK
     weights exceed VMEM (the 5120-wide 14B T2I head: w1 alone is 78MB int8).
@@ -643,7 +686,6 @@ def _fused_em_kernel_streamed(
     t = pl.program_id(2)
     half = x0_ref.shape[0]
     c_dim = h_vm.shape[1]
-    hidden = w2_ref.shape[1]
     tn = wqkv_ref.shape[2]
     elem = n2_ref.dtype
 
@@ -661,7 +703,21 @@ def _fused_em_kernel_streamed(
             a_vm[:, pl.dslice(0, k_dim)] = act.astype(elem)
 
     def stage_dot(k_dim, w_tile, w_s_tile):
-        """a_vm[:, :k_dim] @ w_tile -> f32 [R, tn] (s8 MXU path if quant)."""
+        """a_vm[:, :k_dim] @ w_tile -> f32 [R, tn] (s8 MXU path if quant;
+        int4-packed tiles are detected by their halved K and unpacked into
+        two half-K s8 dots — W4A8)."""
+        if quant and 2 * w_tile.shape[0] == k_dim:
+            kh = w_tile.shape[0]
+            lo, hi = _unpack_int4(w_tile)
+            y = (jax.lax.dot_general(
+                    a_vm[:, pl.dslice(0, kh)], lo,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                 + jax.lax.dot_general(
+                    a_vm[:, pl.dslice(kh, kh)], hi,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32))
+            return y.astype(jnp.float32) * (sa_vm[:, 0:1] * w_s_tile)
         a = a_vm[:, pl.dslice(0, k_dim)]
         if quant:
             y = jax.lax.dot_general(a, w_tile, (((1,), (0,)), ((), ())),
@@ -785,7 +841,7 @@ def _fused_em_kernel_streamed(
 
 
 def _pick_stream_tile(c_dim: int, hidden: int, rows: int,
-                      weight_itemsize: int = 1) -> int | None:
+                      weight_itemsize: float = 1) -> int | None:
     """Largest weight-column tile that divides every stage width (3C, C, 2H)
     AND fits the kernel's total VMEM model: double-buffered tiles for the
     four weight inputs + four [R, 2C] revolving mods blocks + the resident
@@ -808,7 +864,7 @@ def _pick_stream_tile(c_dim: int, hidden: int, rows: int,
 
 def streamed_em_available(c_dim: int, rows: int, attention: bool,
                           hidden: int | None = None,
-                          weight_itemsize: int = 1) -> bool:
+                          weight_itemsize: float = 1) -> bool:
     """Feasibility of the sub-block-tiled streamed EM kernel: attention-
     family SwiGLU heads with tileable widths that fit the VMEM model.
     BITDANCE_STREAMED_EM=0 disables the path (dispatch falls back to the
@@ -835,10 +891,11 @@ def _fused_em_sample_streamed(
     assert attention, "streamed EM kernel is for the attention head family"
     half, ch = x0.shape
     rows = 2 * half
-    c_dim = stacked["w1"].shape[1]
-    hidden = stacked["w2"].shape[1]
-    tn = _pick_stream_tile(c_dim, hidden, rows,
-                           stacked["w1"].dtype.itemsize)
+    c_dim = stacked["n2"].shape[-1]
+    hidden = stacked["b1"].shape[-1] // 2
+    int4 = 2 * stacked["w1"].shape[1] == c_dim
+    w_itemsize = 0.5 if int4 else stacked["w1"].dtype.itemsize
+    tn = _pick_stream_tile(c_dim, hidden, rows, w_itemsize)
     assert tn is not None, (c_dim, hidden, rows)
     t_q, t_o = 3 * c_dim // tn, c_dim // tn
     t_1, t_2 = 2 * hidden // tn, c_dim // tn
@@ -907,13 +964,14 @@ def _fused_em_sample_streamed(
         const(stacked["f_out_w"]), const(stacked["f_out_b"][None]),
         spec((1,) + stacked["n1"].shape[1:], lambda s, l, t: (l, 0, 0)),
         spec((1,) + stacked["n2"].shape[1:], lambda s, l, t: (l, 0, 0)),
-        spec((1, c_dim, tn), wqkv_map),
+        # K dims come from the stored arrays: int4-packed stacks are K/2
+        spec((1, stacked["wqkv"].shape[1], tn), wqkv_map),
         spec((1, 1, tn), clampmap(0, t_q)),
-        spec((1, c_dim, tn), wo_map),
+        spec((1, stacked["wo"].shape[1], tn), wo_map),
         spec((1, 1, tn), clampmap(s1, t_o)),
-        spec((1, c_dim, tn), w1_map),
+        spec((1, stacked["w1"].shape[1], tn), w1_map),
         spec((1, 1, tn), clampmap(s2, t_1)),
-        spec((1, hidden, tn), w2_map),
+        spec((1, stacked["w2"].shape[1], tn), w2_map),
         spec((1, 1, tn), clampmap(s3, t_2)),
     ]
     if quant:
@@ -940,7 +998,7 @@ def _fused_em_sample_streamed(
         _fused_em_kernel_streamed, num_blocks=num_blocks,
         num_steps=num_steps, switch_freq=switch_freq, n_head=n_head,
         groups=groups, bounded=bounded, last_step_size=last_step_size,
-        quant=quant, tiles=(t_q, t_o, t_1, t_2))
+        quant=quant, tiles=(t_q, t_o, t_1, t_2), hidden=hidden)
 
     return pl.pallas_call(
         kernel,
@@ -1018,11 +1076,13 @@ def fused_em_sample(
         streamed = 2 * weight_bytes // num_blocks > 60 * 1024 * 1024
     if streamed:
         rows = 2 * x0.shape[0]
-        c_dim = stacked["w1"].shape[1]
-        hidden = stacked["w2"].shape[1]
+        c_dim = stacked["n2"].shape[-1]
+        hidden = stacked["b1"].shape[-1] // 2
+        int4 = 2 * stacked["w1"].shape[1] == c_dim
         assert streamed_em_available(
             c_dim, rows, attention, hidden,
-            stacked["w1"].dtype.itemsize), (c_dim, rows, attention, hidden)
+            0.5 if int4 else stacked["w1"].dtype.itemsize), \
+            (c_dim, rows, attention, hidden)
         return _fused_em_sample_streamed(
             stacked, x0, noise, allmods, t_all, dt_all, cfg,
             num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
@@ -1071,7 +1131,7 @@ def fused_em_sample(
 
     half, ch = x0.shape
     rows = 2 * half
-    c_dim = stacked["w1"].shape[1]
+    c_dim = stacked["n2"].shape[-1]
     kernel = functools.partial(
         _fused_em_kernel, num_blocks=num_blocks, num_steps=num_steps,
         switch_freq=switch_freq, n_head=n_head, groups=groups,
@@ -1236,7 +1296,7 @@ def em_sample_stacked(
     switch_freq = max(1, num_blocks // num_ada)
     quant = "w1_s" in stacked
     half, ch = x0.shape
-    c_dim = stacked["w1"].shape[1]
+    c_dim = stacked["n2"].shape[-1]
     n_mods = 6 if attention else 3
 
     xs = {

@@ -31,11 +31,12 @@ from bitdance_tpu.pipelines.t2i import T2IModelBundle, T2IPipeline
 
 def load_t2i_pipeline(model_path: str, dtype=jnp.bfloat16,
                       quantize_llm: bool = False,
-                      quantize_head: bool = False,
+                      quantize_head: bool | str = False,
                       quantize_embed: bool = False) -> T2IPipeline:
     """quantize_llm: int8 W8A8 LLM matmuls (ops/int8.py) — halves decode
     weight traffic at a small image-quality cost. quantize_head: int8
-    weight-only fused head sampler (DiffHead.sample_weight_quant).
+    weight-only fused head sampler (DiffHead.sample_weight_quant), or
+    "int4" for packed W4A8 (halves the sampler weight DMA again).
     quantize_embed: int8 embedding table (memory lever — frees 0.78GB at
     152k x 5120, enabling larger image batches per chip)."""
     # LLM + tokenizer (added special tokens ride in tokenizer files)

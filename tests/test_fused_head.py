@@ -322,7 +322,47 @@ def test_fused_em_resident_matches_per_block(attention):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("quant", [False, True])
+def test_int4_pack_unpack_roundtrip():
+    """quantize_cols_int4 packing is exactly inverted by _unpack_int4."""
+    from bitdance_tpu.ops.fused_head import _unpack_int4, quantize_cols_int4
+
+    rng = np.random.default_rng(13)
+    w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+    packed, scale = quantize_cols_int4(w)
+    assert packed.shape == (32, 32) and packed.dtype == jnp.int8
+    q_want = np.clip(np.round(np.asarray(w) / np.asarray(scale)), -7, 7)
+    lo, hi = _unpack_int4(packed)
+    q_got = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=0)
+    np.testing.assert_array_equal(q_got, q_want.astype(np.int8))
+
+
+def test_em_stacked_xla_int4_close_to_fp():
+    """Packed W4A8 block weights stay close to the fp sampler (the stacked
+    XLA twin unpacks structurally via _mmq)."""
+    from bitdance_tpu.ops.fused_head import em_precompute, em_sample_stacked
+
+    net, params = _net_and_params(True)
+    steps = 4
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(
+        net, params, True, steps)
+    x0f = x0.reshape(-1, 8)
+    noise = jnp.zeros((steps,) + x0f.shape, jnp.float32)
+
+    outs = {}
+    for quant in (False, "int4"):
+        stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32,
+                                       quant=quant)
+        allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+        outs[quant] = np.asarray(em_sample_stacked(
+            stacked, x0f, noise, allmods, t_all, dt_all, jnp.float32(2.0),
+            num_blocks=4, num_ada=2, n_head=2, groups=groups,
+            attention=True, bounded=True))
+    err = np.max(np.abs(outs["int4"] - outs[False]))
+    assert err < 0.3, f"int4 drift too large: {err}"
+    assert err > 0, "quantization had no effect (suspicious)"
+
+
+@pytest.mark.parametrize("quant", [False, True, "int4"])
 def test_fused_em_streamed_matches_per_block(quant):
     """The sub-block-tiled streamed kernel (beyond-VMEM per-block weights,
     the 14B T2I head geometry) == the per-(step, block) kernel on identical
