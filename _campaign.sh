@@ -47,6 +47,13 @@ run t2i_3img 1500 python -m benchmarks.bench_t2i --real-14b --layers 28 \
 run t2i_2img_i4 1500 python -m benchmarks.bench_t2i --real-14b --layers 28 \
     --quant-llm --head-int4 --images 2 --iters 2
 
+# 5c. FULL-DEPTH 40L capacity config: int4 LLM + int4 head, bf16 KV
+#     (~13.4GB resident; if OOM, retry with --kv-int8)
+run t2i_full40 1800 python -m benchmarks.bench_t2i --real-14b --layers 40 \
+    --quant-llm-int4 --head-int4 --images 2 --iters 2 \
+ || run t2i_full40_kv8 1800 python -m benchmarks.bench_t2i --real-14b \
+    --layers 40 --quant-llm-int4 --head-int4 --kv-int8 --images 2 --iters 2
+
 # 6. ImageNet: VAE int8 A/B at the standard b256 serving config
 run in_vae8 1200 python bench.py --skip-t2i --vae-int8
 

@@ -80,6 +80,11 @@ def main():
                     help="int8 W8A8 LLM matmuls (ops/int8.py): halves "
                          "weight HBM traffic and doubles the single-chip "
                          "depth budget at true 14B width")
+    ap.add_argument("--quant-llm-int4", action="store_true",
+                    help="packed int4 W4A8 LLM matmuls (ops/int4.py): the "
+                         "capacity config — the FULL 40-layer 14B stack is "
+                         "6.6GB packed and fits one chip (int8 needs 13.2GB "
+                         "and does not)")
     args = ap.parse_args()
     width = args.width or args.height
 
@@ -146,7 +151,10 @@ def main():
     proj = MLPConnector(out_dim=hidden, dtype=jnp.bfloat16)
     pp = to_bf16(proj.init(jax.random.PRNGKey(4), jnp.zeros((1, z))))
 
-    if args.quant_llm:
+    if args.quant_llm_int4:
+        # generated directly into packed int4 (full-depth capacity config)
+        llm_params = q3.init_qwen3_params_int4(jax.random.PRNGKey(0), llm_cfg)
+    elif args.quant_llm:
         # generated directly into int8 (no lm_head: generation never
         # touches it, and at 152k vocab it is 1.56GB)
         llm_params = q3.init_qwen3_params_int8(jax.random.PRNGKey(0), llm_cfg)
@@ -177,6 +185,7 @@ def main():
     num_steps = (args.height // 16) * (width // 16) // p
     tag = " REAL-14B-GEOM" if args.real_14b else ""
     tag += " int8-llm" if args.quant_llm else ""
+    tag += " int4-llm" if args.quant_llm_int4 else ""
     tag += " int4-head" if args.head_int4 else ""
     tag += " int8-kv" if args.kv_int8 else ""
     print(f"{args.height}x{width} p={p} ({num_steps} AR steps x {args.steps} "
@@ -199,7 +208,10 @@ Largest single-chip measurable slice at TRUE width: --real-14b with
 --layers N; each layer is 330M params (0.66GB bf16 / 0.33GB int8), embed
 1.56GB bf16, stacked head 3.2GB bf16 / 1.7GB int8 (the flax tree is
 dropped after stacking — T2IModelBundle.head_stacked), so N<=13 fits in
-bf16 and N<=28 with --quant-llm --quant-head (both measured). LLM cost
+bf16 and N<=28 with --quant-llm --quant-head (both measured). The FULL
+40L model fits with --quant-llm-int4 (layer stack 6.6GB packed int4 +
+int8 embed 0.78GB + int4/int8 head + KV cache) — the complete-model
+single-chip serving config; see ops/int4.py. LLM cost
 scales linearly in depth, the head does not depend on depth; a 40L
 estimate is t(N) + (40-N) * per_layer_decode_time — and the 28L int8
 measurement (11.25 s/image vs 14L's 10.8-est) shows per-layer decode is

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from bitdance_tpu.ops.attention import attention_xla, masked_attention
 from bitdance_tpu.ops.decode_attention import windowed_decode_attention
-from bitdance_tpu.ops.int8 import QTensor, mm, quantize_linear
+from bitdance_tpu.ops.int8 import QTensor, dequantize, mm, quantize_linear
 from bitdance_tpu.ops.norms import rms_norm
 from bitdance_tpu.ops.rotary import apply_rope_half
 
@@ -156,6 +156,76 @@ def init_qwen3_params_int8(key: jax.Array, cfg: Qwen3Config,
     if with_lm_head and not cfg.tie_word_embeddings:
         params["lm_head"] = qdense(k_head, (D, cfg.vocab_size))
     return params
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def init_qwen3_params_int4(key: jax.Array, cfg: Qwen3Config,
+                           dtype: Any = jnp.bfloat16) -> dict:
+    """Random-init directly into packed-int4 layer weights + int8 embed.
+
+    The FULL 40-layer 14B stack is 13.2GB at int8 and does not fit a 16GB
+    chip next to the embed table / head / KV cache; int4-packed it is 6.6GB
+    — the single-chip full-model serving config (ops/int4.py). Same
+    layer-at-a-time materialization discipline as init_qwen3_params_int8.
+    """
+    from bitdance_tpu.ops.int4 import quantize_linear_int4
+
+    D = cfg.hidden_size
+    hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    I = cfg.intermediate_size
+    k_embed, k_layers = jax.random.split(key, 2)
+
+    def q4dense(k, shape, scale=0.02):
+        return quantize_linear_int4(
+            (jax.random.normal(k, shape) * scale).astype(dtype))
+
+    def one_layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "q_proj": q4dense(ks[0], (D, hq * hd)),
+            "k_proj": q4dense(ks[1], (D, hkv * hd)),
+            "v_proj": q4dense(ks[2], (D, hkv * hd)),
+            "o_proj": q4dense(ks[3], (hq * hd, D)),
+            "gate_proj": q4dense(ks[4], (D, I)),
+            "up_proj": q4dense(ks[5], (D, I)),
+            "down_proj": q4dense(ks[6], (I, D)),
+            "q_norm": jnp.ones((hd,), dtype),
+            "k_norm": jnp.ones((hd,), dtype),
+            "input_layernorm": jnp.ones((D,), dtype),
+            "post_attention_layernorm": jnp.ones((D,), dtype),
+        }
+
+    layers = jax.lax.map(one_layer,
+                         jax.random.split(k_layers, cfg.num_hidden_layers))
+    return {
+        # embedding stays int8: the gather is row-granular, and nibble
+        # packing pairs rows k and k+V/2, which would split every lookup
+        "embed_tokens": quantize_linear(
+            (jax.random.normal(k_embed, (cfg.vocab_size, D)) * 0.02
+             ).astype(dtype)),
+        "final_norm": jnp.ones((D,), dtype),
+        "layers": layers,
+    }
+
+
+def quantize_qwen3_params_int4(params: dict,
+                               quantize_embed: bool = True) -> dict:
+    """Packed-int4 quantization of the per-layer matmul weights (capacity
+    lever for full-depth single-chip serving; see ops/int4.py). The embed
+    table goes to int8 (row-granular gather), norms keep their dtype."""
+    from bitdance_tpu.ops.int4 import quantize_linear_int4
+
+    layers = dict(params["layers"])
+    for k in _QUANT_LAYER_KEYS:
+        w = layers[k]
+        layers[k] = quantize_linear_int4(
+            dequantize(w) if isinstance(w, QTensor) else w)
+    out = dict(params, layers=layers)
+    out.pop("lm_head", None)  # generation never touches it
+    if quantize_embed and not isinstance(params["embed_tokens"], QTensor):
+        out["embed_tokens"] = quantize_linear(params["embed_tokens"])
+    return out
 
 
 def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int,

@@ -74,8 +74,12 @@ def int8_matmul(x: jax.Array, w: QTensor) -> jax.Array:
 
 def mm(x: jax.Array, w) -> jax.Array:
     """Weight application that dispatches on leaf type: QTensor -> int8
-    MXU path, plain array -> ordinary matmul. Lets one forward function
-    serve bf16 and quantized parameter pytrees."""
+    MXU path, Q4Tensor -> packed-int4 W4A8 path, plain array -> ordinary
+    matmul. Lets one forward function serve bf16 and quantized pytrees."""
     if isinstance(w, QTensor):
         return int8_matmul(x, w)
+    from bitdance_tpu.ops.int4 import Q4Tensor, int4_matmul
+
+    if isinstance(w, Q4Tensor):
+        return int4_matmul(x, w)
     return x @ w
