@@ -150,3 +150,20 @@ def test_prompt_padding_invariance():
     t_small = run(8 + 2, 2)
     t_big = run(8 + 9, 9)
     np.testing.assert_array_equal(np.asarray(t_small), np.asarray(t_big))
+
+
+def test_pipeline_user_api_int4_llm():
+    """The full-depth capacity config's LLM representation (Q4Tensor layer
+    weights + int8 embed, bench_t2i --quant-llm-int4) flows through the
+    whole generation pipeline: prefill, decode, KV cache, head, VAE."""
+    import dataclasses
+
+    b = _tiny_bundle()
+    qb = dataclasses.replace(
+        b, llm_params=q3.quantize_qwen3_params_int4(b.llm_params))
+    pipe = T2IPipeline(qb, tokenizer=StubTokenizer())
+    imgs = pipe.generate("a tiny blue square", height=8, width=8,
+                         num_sampling_steps=4, guidance_scale=3.0,
+                         num_images=2, seed=11)
+    assert imgs.shape == (2, 8, 8, 3)
+    assert imgs.dtype == np.uint8
