@@ -114,7 +114,7 @@ def main():
 
     # T2I measurements run first, in child processes, so the TPU is free
     # when this process starts the imagenet benchmark (one client at a time)
-    t2i = t2i_14b = None
+    t2i = t2i_14b = t2i_14b_full = None
     if not (args.quick or args.skip_t2i):
         t2i = run_t2i_subprocess([], timeout_s=600)
         # int8 W8A8 serving config: TRUE 14B width at 28/40 layers, the
@@ -124,6 +124,17 @@ def main():
             ["--real-14b", "--layers", "28", "--quant-llm", "--quant-head",
              "--images", "2"],
             timeout_s=1200)
+        # COMPLETE-model capacity config: all 40 layers at true 14B width
+        # via packed int4 W4A8 (ops/int4.py) — the only single-chip config
+        # that serves the full-depth model (MEMORY_PLAN in bench_t2i.py)
+        t2i_14b_full = run_t2i_subprocess(
+            ["--real-14b", "--layers", "40", "--quant-llm-int4",
+             "--head-int4", "--images", "2"],
+            timeout_s=1500)
+
+    from bitdance_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import jax
     import jax.numpy as jnp
@@ -274,6 +285,11 @@ def main():
         result["t2i_14b_geom_config"] = (
             "5120d LLM 28/40 layers + full 14B head, int8 W8A8, "
             "2-image batch, chunked mods")
+        # the full-depth model on one chip (packed int4 weights)
+        result["t2i_14b_full_depth_s_per_image"] = t2i_14b_full
+        result["t2i_14b_full_depth_config"] = (
+            "COMPLETE 40-layer 5120d LLM + full 14B head, packed int4 "
+            "W4A8, 2-image batch")
     print(json.dumps(result))
     print(f"# batch={args.batch} steps={args.sample_steps} "
           f"best={best:.2f}s first(incl compile)={compile_and_first:.1f}s "

@@ -88,6 +88,10 @@ def main():
     args = ap.parse_args()
     width = args.width or args.height
 
+    from bitdance_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -10,6 +10,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import numpy as np
 
+from bitdance_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 print("backend:", jax.default_backend(), jax.devices())
 
 from bitdance_tpu.ops import (flash_attention, attention_xla, mask_from_ids,
@@ -105,8 +109,16 @@ net_s = DiffHead(ch_target=chs, ch_cond=Cs, ch_latent=Cs,
 x_s = jnp.zeros((2, 16, chs))
 c_s = jax.random.normal(ks[0], (2, 16, Cs)) * 0.02
 hp_s = jax.jit(net_s.init)(ks[1], x_s, c_s, ks[2])
-stacked_s = jax.jit(
-    lambda v: net_s.apply(v, method=DiffHead._stack_for_sampler))(hp_s)
+stacked_s = dict(jax.jit(
+    lambda v: net_s.apply(v, method=DiffHead._stack_for_sampler))(hp_s))
+# de-degenerate the comparison: with the zero-init final projection x-hat
+# is ~0 and the sampler output is pure cancellation residue (~1e-6 norm),
+# so rel-err between two implementations is numerically meaningless.
+# A random final projection makes x-hat O(1). (Verified: with this, all
+# three kernel regimes match the XLA sampler to 7e-7 max abs on TPU.)
+_fw = stacked_s["f_out_w"]
+stacked_s["f_out_w"] = (jax.random.normal(ks[6], _fw.shape) * 0.05
+                        ).astype(_fw.dtype)
 x0_s = jax.random.normal(ks[3], (Rs // 2, chs), jnp.float32)
 noise_s = jax.random.normal(ks[4], (steps_s, Rs // 2, chs), jnp.float32)
 t_s = jnp.linspace(0.0, 0.95, steps_s + 1).astype(jnp.float32)
