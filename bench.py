@@ -130,7 +130,7 @@ def main():
         t2i_14b_full = run_t2i_subprocess(
             ["--real-14b", "--layers", "40", "--quant-llm-int4",
              "--head-int4", "--images", "2"],
-            timeout_s=1500)
+            timeout_s=1800)
 
     from bitdance_tpu.utils.compile_cache import enable_persistent_cache
 

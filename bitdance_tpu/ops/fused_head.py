@@ -864,16 +864,26 @@ def _pick_stream_tile(c_dim: int, hidden: int, rows: int,
 
 def streamed_em_available(c_dim: int, rows: int, attention: bool,
                           hidden: int | None = None,
-                          weight_itemsize: float = 1) -> bool:
+                          weight_itemsize: float = 1,
+                          policy: bool = True) -> bool:
     """Feasibility of the sub-block-tiled streamed EM kernel: attention-
     family SwiGLU heads with tileable widths that fit the VMEM model.
     BITDANCE_STREAMED_EM=0 disables the path (dispatch falls back to the
-    stacked XLA sampler)."""
+    stacked XLA sampler). With `policy` (the dispatch default) this also
+    encodes the measured routing preference; policy=False answers only
+    "can the kernel run" (the explicit streamed=True path and tests)."""
     import os
 
     if os.environ.get("BITDANCE_STREAMED_EM", "1") == "0":
         return False
     if not attention or c_dim % 128 != 0:
+        return False
+    if policy and weight_itemsize < 1:
+        # int4-packed weights: measured 10.52 vs 4.89 ms/net-call against
+        # the stacked XLA sampler at the 14B head geometry (C=5120 H=7680
+        # R=256) — the per-tile VPU nibble unpack dominates once the weight
+        # DMA is halved, so int4 heads route to the stacked sampler, which
+        # overlaps its (one-per-scan-step) unpack with the MXU work.
         return False
     hidden = int(c_dim * 1.5) if hidden is None else hidden
     return _pick_stream_tile(c_dim, hidden, rows, weight_itemsize) is not None
@@ -1081,8 +1091,8 @@ def fused_em_sample(
         int4 = 2 * stacked["w1"].shape[1] == c_dim
         assert streamed_em_available(
             c_dim, rows, attention, hidden,
-            0.5 if int4 else stacked["w1"].dtype.itemsize), \
-            (c_dim, rows, attention, hidden)
+            0.5 if int4 else stacked["w1"].dtype.itemsize,
+            policy=False), (c_dim, rows, attention, hidden)
         return _fused_em_sample_streamed(
             stacked, x0, noise, allmods, t_all, dt_all, cfg,
             num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
