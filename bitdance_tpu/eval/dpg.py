@@ -22,9 +22,12 @@ class DPGEvaluator(BaseEvaluator):
         self.datasets = self.shard(datasets)
 
     def eval(self, data_path: str, save_dir: str, guidance_scale: float = 7.5,
-             num_sampling_steps: int = 50, image_size=(1024, 1024)):
+             num_sampling_steps: int = 50, image_size=(1024, 1024),
+             max_prompts: int = 0):
         os.makedirs(save_dir, exist_ok=True)
         self.build_dataset(data_path)
+        if max_prompts:
+            self.datasets = self.datasets[:max_prompts]
         for data in self.datasets:
             images = self.model.generate(
                 data["prompt"],

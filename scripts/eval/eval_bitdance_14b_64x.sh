@@ -7,12 +7,12 @@ MODEL_PATH=${1:-models/BitDance-14B-64x}
 
 python -m bitdance_tpu.eval.dpg \
   --model_path "$MODEL_PATH" \
-  --data_path eval/dpg_bench/prompts.json \
+  --data_path eval_assets/dpg/prompts.json \
   --save_dir results/dpg \
   --guidance_scale 7.5 --num_sampling_steps 50 --image_size 1024 1024
 
 python -m bitdance_tpu.eval.geneval \
   --model_path "$MODEL_PATH" \
-  --data_path eval/geneval/prompts/evaluation_metadata_long.jsonl \
+  --data_path eval_assets/geneval/evaluation_metadata_long.jsonl \
   --save_dir results/geneval \
   --guidance_scale 13.0 --num_sampling_steps 50 --image_size 1024 1024

@@ -67,3 +67,40 @@ def test_geneval_harness_layout(tmp_path):
         for j in range(4):
             assert os.path.exists(os.path.join(d, "samples", f"{j:04d}.png"))
         assert os.path.exists(os.path.join(d, "grid.png"))
+
+
+def test_vendored_real_prompt_sets():
+    """The REAL benchmark prompt sets are checked in (public data: DPG-Bench
+    from ELLA — 1065 prompts; GenEval evaluation metadata — 553 lines; the
+    same assets the reference vendors under eval/) and match the default /
+    eval-script paths."""
+    dpg = os.path.join(ASSETS, "dpg", "prompts.json")
+    assert os.path.exists(dpg), "run scripts/fetch_eval_assets.py"
+    prompts = json.load(open(dpg))
+    assert len(prompts) == 1065
+
+    for name in ("evaluation_metadata.jsonl", "evaluation_metadata_long.jsonl"):
+        p = os.path.join(ASSETS, "geneval", name)
+        assert os.path.exists(p), p
+        lines = [json.loads(x) for x in open(p)]
+        assert len(lines) == 553
+        assert all("prompt" in r and "tag" in r for r in lines)
+
+    # scripts/eval/*.sh point at these exact paths
+    sh = os.path.join(os.path.dirname(ASSETS), "scripts", "eval",
+                      "eval_bitdance_14b_64x.sh")
+    text = open(sh).read()
+    assert "eval_assets/dpg/prompts.json" in text
+    assert "eval_assets/geneval/evaluation_metadata_long.jsonl" in text
+
+
+def test_dpg_harness_on_real_prompts(tmp_path):
+    """The DPG harness consumes the real 1065-prompt set (subset for CI
+    speed via max_prompts)."""
+    pipe = StubPipeline()
+    ev = DPGEvaluator("unused", pipeline=pipe)
+    out = str(tmp_path / "dpg_real")
+    ev.eval(os.path.join(ASSETS, "dpg", "prompts.json"), out,
+            guidance_scale=7.5, num_sampling_steps=2, image_size=(16, 16),
+            max_prompts=3)
+    assert len(pipe.calls) == 3

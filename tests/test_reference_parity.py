@@ -282,3 +282,49 @@ def test_imagenet_backbone_parity(monkeypatch):
     h = ar_backbone(params, cfg, h, freqs, block, doc)
     got = np.asarray(rms_norm(h, params["norm"]))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction-quality harness (scripts/eval_tokenizer_recon.py)
+# ---------------------------------------------------------------------------
+
+def test_recon_harness_jax_matches_torch():
+    """The PSNR/SSIM harness reports ~zero delta when ours IS the
+    transplanted torch model (BASELINE.md 0.05 dB north-star tooling)."""
+    from bitdance_tpu.eval.recon import (
+        compare_reconstructions,
+        reconstruct_jax,
+        reconstruct_torch,
+    )
+    from bitdance_tpu.io.torch_import import convert_ae_state
+
+    ref = _ref_vq()
+    state = _np_state(ref)
+    params = convert_ae_state(state)
+
+    rng = np.random.default_rng(4)
+    images = np.clip(rng.normal(scale=0.5, size=(3, 16, 16, 3)),
+                     -1, 1).astype(np.float32)
+    recon_j = reconstruct_jax(TINY_DD, params, images, batch=2)
+    recon_t = reconstruct_torch(state, TINY_DD, images, batch=2,
+                                reference_root=REF)
+    rep = compare_reconstructions(images, recon_j, recon_t)
+    assert rep.psnr_delta is not None
+    assert abs(rep.psnr_delta) < 0.05, rep.as_dict()
+    assert abs(rep.ssim_jax - rep.ssim_torch) < 1e-3, rep.as_dict()
+    assert rep.within_north_star
+
+
+def test_recon_metrics_sanity():
+    """PSNR/SSIM match closed-form expectations on synthetic data."""
+    from bitdance_tpu.eval.recon import psnr, ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(2, 3, 32, 32))
+    assert psnr(a, a) == float("inf")
+    assert ssim(a, a) == pytest.approx(1.0)
+    # PSNR closed form: uniform offset eps -> 10*log10(4 / eps^2)
+    b = a + 0.1
+    assert psnr(a, b) == pytest.approx(10 * np.log10(4.0 / 0.01), rel=1e-6)
+    # decorrelated noise degrades SSIM
+    assert ssim(a, rng.normal(size=a.shape)) < 0.2
