@@ -55,6 +55,16 @@ def mllm_config_from_yaml(cfg: ConfigDict, vocab_size: int):
 
     m = cfg.model
     vp = m.head.vision_pred
+    # sparse-iteration flash attention bound, derived from the packer's
+    # per-sample token cap (yaml data block): a 256-token q tile can only
+    # see live kv tiles of its own document, so ceil(max_doc/512)+1 tiles
+    # bounds the iteration space (3.5x attention speedup on the 33k packed
+    # budget, benchmarks/bench_attention.py --docs 8). An explicit
+    # model.attn_max_live_kv key overrides; 0 disables (dense).
+    max_doc = int(cfg.get("data", {}).get("max_num_tokens_per_sample", 0))
+    live_kv = m.get("attn_max_live_kv",
+                    -(-max_doc // 512) + 1 if max_doc else 0)
+    live_kv = int(live_kv) or None
     # optional explicit LLM dims (debug/smoke configs); default Qwen3-14B
     if m.llm.get("hidden_size"):
         llm = Qwen3Config(
@@ -83,6 +93,7 @@ def mllm_config_from_yaml(cfg: ConfigDict, vocab_size: int):
         diff_batch_mul=vp.get("diff_batch_mul", 1),
         vision_perturb=m.head.get("vision_perturb", 0.0),
         pe_max_len=m.head.get("pe_max_len", 4096),
+        attn_max_live_kv=live_kv,
     )
 
 

@@ -223,6 +223,7 @@ def mllm_forward_train_batched(
     batch: PackedBatch,
     rng: jax.Array,
     train: bool = True,
+    seq_offset: jax.Array | int = 0,
 ) -> dict:
     """Batched packed forward: every PackedBatch field carries a leading
     batch axis [B, ...] (one packed sequence per data-parallel shard).
@@ -232,11 +233,17 @@ def mllm_forward_train_batched(
     Loss semantics match DDP/HSDP gradient averaging: per-sequence weighted
     means, then an unweighted mean over sequences (fsdp_utils.py:80-104 —
     each rank computes its own weighted mean and gradients are averaged).
+
+    Per-sequence rng is folded by GLOBAL sequence index (seq_offset + row),
+    not split by batch size, so splitting a fixed set of sequences between
+    the batch axis and grad-accum microbatches is bit-invariant (the
+    accumulating caller passes seq_offset = microbatch_index * B).
     """
     B = batch.position_ids.shape[0]
     k_perturb, k_head = jax.random.split(rng)
-    perturb_keys = jax.random.split(k_perturb, B)
-    head_keys = jax.random.split(k_head, B)
+    idx = jnp.asarray(seq_offset, jnp.int32) + jnp.arange(B, dtype=jnp.int32)
+    perturb_keys = jax.vmap(jax.random.fold_in, (None, 0))(k_perturb, idx)
+    head_keys = jax.vmap(jax.random.fold_in, (None, 0))(k_head, idx)
 
     seq = jax.vmap(
         lambda b, k: _assemble_seq(params, cfg, b, k, train),

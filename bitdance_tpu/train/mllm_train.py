@@ -68,8 +68,9 @@ def make_state(params, tx, tcfg: MLLMTrainConfig) -> opt_lib.TrainState:
                                      with_ema=tcfg.ema_decay > 0)
 
 
-def _loss_fn(params, batch: PackedBatch, rng, cfg, tcfg):
-    out = mllm_forward_train_batched(params, cfg, batch, rng)
+def _loss_fn(params, batch: PackedBatch, rng, cfg, tcfg, seq_offset=0):
+    out = mllm_forward_train_batched(params, cfg, batch, rng,
+                                     seq_offset=seq_offset)
     loss = (tcfg.loss_weight_text * out["ce_loss_text"]
             + tcfg.loss_weight_vision * out["ce_loss_vision"])
     return loss, out
@@ -81,20 +82,23 @@ def train_step(state: opt_lib.TrainState, batch: PackedBatch, rng: jax.Array,
 
     Batch field shapes: [B, ...] when tcfg.grad_accum == 1, else
     [grad_accum, B, ...]; B is the global data-parallel batch (one packed
-    sequence per dp shard). Gradients are averaged over microbatches, so
-    results are invariant to how a fixed set of sequences is split between
-    B and grad_accum.
+    sequence per dp shard). Gradients are averaged over microbatches AND
+    per-sequence rng is folded by global sequence index, so the step is
+    bit-invariant (to fp32 accumulation order) to how a fixed set of
+    sequences is split between B and grad_accum.
     """
     grad_fn = jax.value_and_grad(
         functools.partial(_loss_fn, cfg=cfg, tcfg=tcfg), has_aux=True)
 
     if tcfg.grad_accum > 1:
-        rngs = jax.random.split(rng, tcfg.grad_accum)
+        mb_size = batch.position_ids.shape[1]
+        offsets = jnp.arange(tcfg.grad_accum, dtype=jnp.int32) * mb_size
 
         def body(carry, xs):
             g_acc, loss_acc, out_acc = carry
-            mb, r = xs
-            (loss, out), grads = grad_fn(state.params, mb, r)
+            mb, off = xs
+            (loss, out), grads = grad_fn(state.params, mb, rng,
+                                         seq_offset=off)
             g_acc = jax.tree.map(jnp.add, g_acc, grads)
             out_acc = jax.tree.map(jnp.add, out_acc, out)
             return (g_acc, loss_acc + loss, out_acc), None
@@ -104,7 +108,7 @@ def train_step(state: opt_lib.TrainState, batch: PackedBatch, rng: jax.Array,
         out0 = {"ce_loss_text": jnp.zeros((), jnp.float32),
                 "ce_loss_vision": jnp.zeros((), jnp.float32)}
         (grads, loss, out), _ = jax.lax.scan(
-            body, (g0, jnp.zeros((), jnp.float32), out0), (batch, rngs))
+            body, (g0, jnp.zeros((), jnp.float32), out0), (batch, offsets))
         inv = 1.0 / tcfg.grad_accum
         # accumulate in fp32, step in the param dtype
         grads = jax.tree.map(lambda g, p: (g * inv).astype(p.dtype),

@@ -90,6 +90,15 @@ def test_yaml_config_roundtrip():
     assert m.P_mean == -0.8 and m.P_std == 0.8
     assert m.vision_perturb == 0.1
     assert m.z_channels == 32
+    # sparse-iteration attention is ON in the production config, derived
+    # from the packer cap: ceil(16384/512)+1 = 33 (VERDICT r2 ask #4)
+    assert m.attn_max_live_kv == 33
+    # explicit override wins; 0 disables (dense)
+    cfg.model.attn_max_live_kv = 0
+    assert mllm_config_from_yaml(cfg, 152064).attn_max_live_kv is None
+    cfg.model.attn_max_live_kv = 17
+    assert mllm_config_from_yaml(cfg, 152064).attn_max_live_kv == 17
+    del cfg.model["attn_max_live_kv"]
     t = mllm_train_config_from_yaml(cfg)
     assert t.lr == 1e-5 and t.eps == 1e-15
     assert t.loss_weight_text == 0.01

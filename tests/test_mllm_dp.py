@@ -97,7 +97,10 @@ def test_distinct_sequences_actually_differ():
 
 
 def test_grad_accum_invariance():
-    """[4] batch in one shot == [2, 2] accumulated, to fp32 tolerance."""
+    """[4] batch in one shot == [2, 2] accumulated: per-sequence rng is
+    folded by GLOBAL sequence index (seq_offset), so ALL losses (vision
+    included — the rng-dependent one that carries weight 1.0) and every
+    parameter match to fp32 accumulation tolerance."""
     cfg, tcfg1, tx, state = _setup(grad_accum=1)
     batch_flat = _batched(cfg, 4)
 
@@ -107,16 +110,15 @@ def test_grad_accum_invariance():
     cfg2, tcfg2, tx2, state2 = _setup(grad_accum=2)
     batch_acc = _batched(cfg, 4, grad_accum=2)
     accum = jax.jit(functools.partial(train_step, cfg=cfg, tcfg=tcfg2, tx=tx2))
-    # NOTE: rng folding differs between the two paths (split over accum
-    # steps vs over batch), so run with train rng effects disabled by
-    # comparing only determinism-insensitive pieces: use identical rng and
-    # accept the vision-loss rng difference by checking grads flow and the
-    # text-CE (rng-free) half agrees after one step.
     s2, m2 = accum(state2, batch_acc, jax.random.PRNGKey(3))
 
     np.testing.assert_allclose(float(m1["ce_loss_text"]),
                                float(m2["ce_loss_text"]), rtol=2e-5)
-    assert np.isfinite(float(m2["loss"]))
+    np.testing.assert_allclose(float(m1["ce_loss_vision"]),
+                               float(m2["ce_loss_vision"]), rtol=2e-5)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5)
+    _leaves_close(s1.params, s2.params, atol=1e-5)
     assert int(s2.step) == 1
 
 
