@@ -20,8 +20,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def prior_value(metric: str):
-    """Latest driver-recorded value for `metric` from BENCH_r*.json history."""
+def prior_value(metric: str, key: str = None):
+    """Latest driver-recorded value for `metric` from BENCH_r*.json history.
+
+    With `key`, look up that sub-key of the parsed JSON line instead of the
+    headline value (the t2i metrics live alongside the imagenet headline)."""
     found = None
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         try:
@@ -29,32 +32,55 @@ def prior_value(metric: str):
                 parsed = json.load(f).get("parsed") or {}
         except (OSError, ValueError):
             continue
-        if parsed.get("metric") == metric and isinstance(
+        if key is not None:
+            if isinstance(parsed.get(key), (int, float)):
+                found = float(parsed[key])
+        elif parsed.get("metric") == metric and isinstance(
                 parsed.get("value"), (int, float)):
             found = float(parsed["value"])
     return found
 
 
-def run_t2i_subprocess(extra_args, timeout_s=480, retries=1):
-    """Run benchmarks/bench_t2i.py in a child process (BEFORE this process
-    claims the TPU — one TPU client at a time) and parse s/image.
+def run_t2i_ladder(ladder, timeout_s=480):
+    """Run benchmarks/bench_t2i.py configs in a child process (BEFORE this
+    process claims the TPU — one TPU client at a time) and parse s/image.
 
-    Failures (timeout / crash / unparseable output) are diagnosed on stderr
-    and retried once: a transient tunnel contention or wedged device grant
-    must not null the flagship metric in the recorded bench JSON."""
+    `ladder` is a list of (label, extra_args, env_overrides) tried IN ORDER
+    until one produces a number: the escalation steps are materially
+    different configs (streamed-EM kernel off, int8 KV cache, one-program
+    trace), so a fault in the fast path still records a (slower) flagship
+    number instead of null (VERDICT r2 ask #2). Returns
+    (s_per_image, label, attribution_dict) or (None, None, None)."""
     import re
     import subprocess
 
-    # keep the environment intact: the axon PJRT plugin is registered by
-    # sitecustomize.py on PYTHONPATH (/root/.axon_site) — removing or
-    # extending PYTHONPATH both break plugin discovery
-    env = dict(os.environ)
-    for attempt in range(retries + 1):
-        if attempt == retries and retries > 0:
-            # last try: disable the streamed EM kernel in case the failure
-            # is a Mosaic/VMEM rejection of the new fast path — a slower
-            # flagship number beats a null one
-            env["BITDANCE_STREAMED_EM"] = "0"
+    def probe_grant():
+        # a crashed TPU client wedges the device grant for ~2-3 min; every
+        # new client then hangs on its first op. Probe with a trivial
+        # matmul before the next ladder attempt so the wait doesn't eat
+        # the attempt's own timeout (measured: 158s recovery).
+        for _ in range(2):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "print(float(jnp.sum(jnp.ones((128,128)))))"],
+                    cwd=REPO, env=dict(os.environ), capture_output=True,
+                    text=True, timeout=300)
+                if r.returncode == 0:
+                    return
+            except subprocess.TimeoutExpired:
+                pass
+
+    # probe before every attempt: a previous ladder step (or an earlier
+    # metric's crashed run) may have wedged the grant
+    for label, extra_args, env_over in ladder:
+        probe_grant()
+        # keep the environment intact: the axon PJRT plugin is registered
+        # by sitecustomize.py on PYTHONPATH (/root/.axon_site) — removing
+        # or extending PYTHONPATH both break plugin discovery
+        env = dict(os.environ)
+        env.update(env_over)
         try:
             r = subprocess.run(
                 [sys.executable, "-m", "benchmarks.bench_t2i", "--iters", "2"]
@@ -62,16 +88,23 @@ def run_t2i_subprocess(extra_args, timeout_s=480, retries=1):
                 cwd=REPO, env=env, capture_output=True, text=True,
                 timeout=timeout_s)
         except subprocess.TimeoutExpired:
-            print(f"# t2i bench {extra_args} attempt {attempt}: "
-                  f"timeout after {timeout_s}s", file=sys.stderr)
+            print(f"# t2i bench [{label}] {extra_args}: timeout after "
+                  f"{timeout_s}s", file=sys.stderr)
             continue
         m = re.search(r"([0-9.]+) s/image", r.stdout)
         if m:
-            return float(m.group(1))
+            attribution = None
+            am = re.search(r"^ATTRIBUTION (.*)$", r.stdout, re.MULTILINE)
+            if am:
+                try:
+                    attribution = json.loads(am.group(1))
+                except ValueError:
+                    pass
+            return float(m.group(1)), label, attribution
         tail = "\n".join((r.stdout + "\n" + r.stderr).strip().splitlines()[-8:])
-        print(f"# t2i bench {extra_args} attempt {attempt}: rc={r.returncode}, "
+        print(f"# t2i bench [{label}] {extra_args}: rc={r.returncode}, "
               f"no s/image in output; tail:\n{tail}", file=sys.stderr)
-    return None
+    return None, None, None
 
 
 def main():
@@ -88,6 +121,8 @@ def main():
                     help="VAE decode chunk (model.py:378-387 decode_in_chunks)")
     ap.add_argument("--skip-t2i", action="store_true",
                     help="skip the T2I flagship measurements")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="skip the packed-MLLM train-step measurement")
     ap.add_argument("--kv-int8", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="int8 KV ring buffer (serving config; halves "
@@ -115,22 +150,71 @@ def main():
     # T2I measurements run first, in child processes, so the TPU is free
     # when this process starts the imagenet benchmark (one client at a time)
     t2i = t2i_14b = t2i_14b_full = None
+    t2i_cfgs = {}
+    t2i_attr = {}
     if not (args.quick or args.skip_t2i):
-        t2i = run_t2i_subprocess([], timeout_s=600)
+        t2i, _, t2i_attr["t2i_1024px"] = run_t2i_ladder(
+            [("bf16", [], {}),
+             ("bf16+one-program", [], {"BITDANCE_ONE_PROGRAM": "1"})],
+            timeout_s=600)
         # int8 W8A8 serving config: TRUE 14B width at 28/40 layers, the
         # single-chip maximum (bf16 stops at 13L); also the fastest.
         # Cold-cache compile is ~680s; warm (persistent compile cache) ~110s.
-        t2i_14b = run_t2i_subprocess(
-            ["--real-14b", "--layers", "28", "--quant-llm", "--quant-head",
-             "--images", "2"],
-            timeout_s=1200)
+        base_28 = ["--real-14b", "--layers", "28", "--quant-llm",
+                   "--quant-head", "--images", "2"]
+        # int8-KV leads: bf16-KV at this geometry plans to within ~0.6G of
+        # the HBM ceiling and runtime-OOMs (fragmentation) — measured r3
+        t2i_14b, t2i_cfgs["t2i_14b_geom"], t2i_attr["t2i_14b_geom"] = \
+            run_t2i_ladder(
+                [("int8+int8kv", base_28 + ["--kv-int8"], {}),
+                 ("int8+int8kv+one-program", base_28 + ["--kv-int8"],
+                  {"BITDANCE_ONE_PROGRAM": "1"}),
+                 ("int8+bf16kv-1img", ["--real-14b", "--layers", "28",
+                                       "--quant-llm", "--quant-head",
+                                       "--images", "1"], {})],
+                timeout_s=1500)
         # COMPLETE-model capacity config: all 40 layers at true 14B width
         # via packed int4 W4A8 (ops/int4.py) — the only single-chip config
         # that serves the full-depth model (MEMORY_PLAN in bench_t2i.py)
-        t2i_14b_full = run_t2i_subprocess(
-            ["--real-14b", "--layers", "40", "--quant-llm-int4",
-             "--head-int4", "--images", "2"],
-            timeout_s=1800)
+        base_40 = ["--real-14b", "--layers", "40", "--quant-llm-int4",
+                   "--head-int4", "--images", "2"]
+        # int8-KV leads here too: 40L bf16-KV 2-image OOMs on-device
+        # (RESOURCE_EXHAUSTED, measured r3) — don't burn a ~8min compile
+        # on a config known to die
+        t2i_14b_full, t2i_cfgs["t2i_14b_full_depth"], \
+            t2i_attr["t2i_14b_full_depth"] = run_t2i_ladder(
+                [("int4+int8kv", base_40 + ["--kv-int8"], {}),
+                 ("int4+int8kv+one-program", base_40 + ["--kv-int8"],
+                  {"BITDANCE_ONE_PROGRAM": "1"}),
+                 ("int4+int8kv-1img", ["--real-14b", "--layers", "40",
+                                       "--quant-llm-int4", "--head-int4",
+                                       "--kv-int8", "--images", "1"], {})],
+                timeout_s=1800)
+
+    # packed-MLLM train-step throughput at the PRODUCTION 33k token budget
+    # (bitdance_14b_64x.yaml:45-47) with sparse-iteration attention on by
+    # default (VERDICT r2 ask #4) — subprocess, same one-client rule
+    train_toks = None
+    if not (args.quick or args.skip_train):
+        import re
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "benchmarks.bench_train",
+                 "--skip-imagenet", "--mllm-budget", "33280", "--steps", "4"],
+                cwd=REPO, env=dict(os.environ), capture_output=True,
+                text=True, timeout=900)
+            m = re.search(r"([0-9.]+) tokens/s/chip", r.stdout)
+            if m:
+                train_toks = float(m.group(1))
+            else:
+                tail = "\n".join((r.stdout + "\n" + r.stderr)
+                                 .strip().splitlines()[-6:])
+                print(f"# train bench: rc={r.returncode}, no tokens/s; "
+                      f"tail:\n{tail}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print("# train bench: timeout", file=sys.stderr)
 
     from bitdance_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -275,21 +359,46 @@ def main():
                   f"weights, windowed decode attention",
     }
     if not (args.quick or args.skip_t2i):
+        def vs_prior(key, val):
+            # s/image: LOWER is better, so vs_baseline = prior / current
+            prev = prior_value(None, key=key)
+            if prev and val:
+                return round(prev / val, 4)
+            return 1.0 if val else None
+
         # flagship T2I: 1024px, p=64, 64 AR steps x 50 diffusion steps
         result["t2i_1024px_s_per_image"] = t2i
+        result["t2i_1024px_vs_baseline"] = vs_prior(
+            "t2i_1024px_s_per_image", t2i)
         result["t2i_config"] = "0.7B-class LLM (16L/1024d), bf16"
-        # true 14B WIDTH (5120d LLM + 5120-wide head, 152k vocab); 14 of 40
-        # layers is the single-chip 16GB maximum — full 14B needs tp>=4 or
-        # int8 (benchmarks/bench_t2i.py MEMORY_PLAN)
+        # true 14B WIDTH (5120d LLM + 5120-wide head, 152k vocab); 28/40
+        # layers is the single-chip int8 maximum (bf16 stops at 13L) —
+        # see benchmarks/bench_t2i.py MEMORY_PLAN
         result["t2i_14b_geom_s_per_image"] = t2i_14b
+        result["t2i_14b_geom_vs_baseline"] = vs_prior(
+            "t2i_14b_geom_s_per_image", t2i_14b)
         result["t2i_14b_geom_config"] = (
             "5120d LLM 28/40 layers + full 14B head, int8 W8A8, "
-            "2-image batch, chunked mods")
+            f"2-image batch [{t2i_cfgs.get('t2i_14b_geom')}]")
         # the full-depth model on one chip (packed int4 weights)
         result["t2i_14b_full_depth_s_per_image"] = t2i_14b_full
+        result["t2i_14b_full_depth_vs_baseline"] = vs_prior(
+            "t2i_14b_full_depth_s_per_image", t2i_14b_full)
         result["t2i_14b_full_depth_config"] = (
             "COMPLETE 40-layer 5120d LLM + full 14B head, packed int4 "
-            "W4A8, 2-image batch")
+            f"W4A8, 2-image batch [{t2i_cfgs.get('t2i_14b_full_depth')}]")
+        # where the time goes + fraction of peak (VERDICT r2 ask #8)
+        result["t2i_attribution"] = {k: v for k, v in t2i_attr.items()
+                                     if v is not None}
+    if not (args.quick or args.skip_train):
+        result["mllm_train_33k_tokens_per_sec"] = train_toks
+        prev_t = prior_value(None, key="mllm_train_33k_tokens_per_sec")
+        result["mllm_train_vs_baseline"] = (
+            round(train_toks / prev_t, 4) if (train_toks and prev_t)
+            else (1.0 if train_toks else None))
+        result["mllm_train_config"] = (
+            "0.7B-class 16L/1024d, 33280-token packed budget, "
+            "sparse-iteration attention, donated adamw state")
     print(json.dumps(result))
     print(f"# batch={args.batch} steps={args.sample_steps} "
           f"best={best:.2f}s first(incl compile)={compile_and_first:.1f}s "

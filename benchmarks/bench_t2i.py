@@ -15,9 +15,12 @@ Measurements on one v5e (fused whole-sampler head kernel, round 2):
      stacked XLA sampler with W8A8 MXU dots is the lever — the Pallas
      whole-sampler kernel applies below ~2k width where per-block weights
      fit VMEM and launches, not FLOPs, dominate.)
-  ... + 2-image batch, chunked mods precompute, split prefill/decode
-    programs with the KV cache donated + layout-pinned (zero cache
-    copies), int8 embed + int8 modcat: 6.91 s/image (the serving config).
+  ... + 2-image batch, split prefill/decode programs with the KV cache
+    donated (decode pins its cache in/out shardings to the layout XLA
+    actually produced for prefill — requesting a layout is ignored at
+    GB-scale) + step-chunked mods (the whole-loop mods buffer is 1.87GB
+    and OOMed the r2 "6.91" config, which never replayed): see
+    BENCH_r03.json for the recorded number.
     4-image bf16-KV does NOT fit 28L (args alone 15.1G of 15.75G HBM);
     4-image int8-KV fits but measured slower (9.37) — the int8 KV
     attention dequant costs more than the batching saves.
@@ -49,6 +52,37 @@ class _StubTokenizer:
 
     def convert_tokens_to_ids(self, tok):
         return self.special[tok]
+
+
+V5E_PEAK_BF16_TFLOPS = 197.0   # per-chip dense bf16; int8 MXU is ~2x
+
+
+def analytic_gen_tflops_per_image(llm_cfg, hidden, z, p, prompt_bucket,
+                                  lat_h, lat_w, steps, head_blocks=6,
+                                  head_ada=2):
+    """Model matmul TFLOPs per generated image (LLM + diffusion head; VAE
+    conv decode excluded — its share is reported by phase timing). Used for
+    the recorded-bench MFU line, not for correctness."""
+    D = llm_cfg.hidden_size
+    q_out = llm_cfg.num_attention_heads * llm_cfg.head_dim
+    kv_out = llm_cfg.num_key_value_heads * llm_cfg.head_dim
+    inter = llm_cfg.intermediate_size
+    per_layer = D * q_out + 2 * D * kv_out + q_out * D + 3 * D * inter
+    tokens = 2 * (prompt_bucket + 2 + p + lat_h * lat_w)   # cond + uncond
+    llm_flops = 2.0 * tokens * llm_cfg.num_hidden_layers * per_layer
+
+    C = hidden
+    rows = 2 * p                                           # CFG rows / image
+    ar_steps = lat_h * lat_w // p
+    net_calls = (steps + 1) * ar_steps
+    hid = int(1.5 * C)
+    block = 3 * C * C + C * C + C * (2 * hid) + hid * C    # qkv+o+w1+w2
+    net_params = z * C + head_blocks * block + C * z
+    mod_w = head_ada * 6 * C + 2 * C
+    head_flops = (2.0 * net_calls * rows * net_params
+                  + 2.0 * net_calls * rows * C * mod_w    # mods precompute
+                  + 2.0 * ar_steps * rows * C * C)        # cond embed
+    return llm_flops / 1e12, head_flops / 1e12
 
 
 def main():
@@ -192,10 +226,43 @@ def main():
     tag += " int4-llm" if args.quant_llm_int4 else ""
     tag += " int4-head" if args.head_int4 else ""
     tag += " int8-kv" if args.kv_int8 else ""
+    iters_s = " ".join(f"{t:.2f}" for t in times)
     print(f"{args.height}x{width} p={p} ({num_steps} AR steps x {args.steps} "
           f"diff steps), llm {args.layers}L/{hidden}d{tag}: "
           f"{best:.2f} s/image ({1.0/best:.3f} img/s) "
-          f"[compile+first {compile_s:.0f}s]")
+          f"[compile+first {compile_s:.0f}s; iters/call {iters_s}s]")
+
+    # --- attribution + MFU (VERDICT r2 ask #8) ----------------------------
+    import json as _json
+    import os as _os
+
+    timing = {}
+    if _os.environ.get("BITDANCE_PHASE_TIMING", "1") != "0":
+        pipe.phase_timing = True
+        t0 = time.time()
+        pipe.generate("attribution prompt", args.height, width, args.steps,
+                      args.cfg, args.images, seed=99)
+        pipe.phase_timing = False
+        timing = {k: round(v, 3) for k, v in pipe.last_timing.items()}
+        timing["total"] = round(time.time() - t0, 3)
+    llm_tf, head_tf = analytic_gen_tflops_per_image(
+        llm_cfg, hidden, z, p, 64, args.height // 16, width // 16,
+        args.steps)
+    gen_tf = llm_tf + head_tf
+    # int8/int4 weights run the hot matmuls on the doubled int8 MXU rate;
+    # quote MFU against the peak the config can actually reach
+    quantized = (args.quant_llm or args.quant_llm_int4) and (
+        args.quant_head or args.head_int4)
+    peak = V5E_PEAK_BF16_TFLOPS * (2.0 if quantized else 1.0)
+    attribution = {
+        "phase_s": timing,
+        "model_tflops_per_image": {"llm": round(llm_tf, 2),
+                                   "head": round(head_tf, 2)},
+        "achieved_tflops": round(gen_tf / best, 1),
+        "peak_tflops_assumed": peak,
+        "mfu": round(gen_tf / best / peak, 3),
+    }
+    print("ATTRIBUTION " + _json.dumps(attribution))
 
 
 MEMORY_PLAN = """

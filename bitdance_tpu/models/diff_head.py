@@ -455,7 +455,7 @@ class DiffHead(nn.Module):
     def _can_fuse_sample(self, cond, cfg_mult) -> bool:
         from bitdance_tpu.ops.fused_head import (
             fused_net_available,
-            streamed_em_available,
+            streamed_em_preferred,
         )
 
         rows = 1
@@ -465,7 +465,7 @@ class DiffHead(nn.Module):
         return (self._sample_shape_ok(cond, cfg_mult)
                 and (fused_net_available(self.ch_latent, rows,
                                          self.attention)
-                     or streamed_em_available(
+                     or streamed_em_preferred(
                          self.ch_latent, rows, self.attention,
                          weight_itemsize=itemsize)))
 
@@ -541,26 +541,43 @@ def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,
         last_step_size=last_step)
     cfg_arr = jnp.asarray(cfg, jnp.float32)
     if use_kernel:
-        # chunk the precompute when the [S*R, W] f32 matmul intermediate
-        # would be GBs (14B width): the whole-sampler kernel still consumes
-        # ONE concatenated bf16 buffer, but each chunk's f32 dot output
-        # stays ~100s of MB even if XLA doesn't fuse the bf16 convert
+        # chunk the SAMPLER over steps when the full [S, R, W] mods buffer
+        # would be GBs (1.87GB bf16 at 14B/2-image width): each chunk
+        # precomputes + consumes only its own mods slice, so peak HBM is
+        # one chunk (~256MB) instead of the whole buffer — the allocation
+        # that OOMed the 28L flagship decode program in round 2. The latent
+        # state x chains between chunks (final_chunk=False skips the final
+        # euler step and returns the post-EM state).
+        import os
+
         width = stacked["modcat_w"].shape[1]
-        steps_total = num_sampling_steps + 1
-        inter_bytes = steps_total * rows * width * 4
-        if inter_bytes > 1024 * 1024 * 1024:
-            chunk = max(1, (1024 * 1024 * 1024) // (rows * width * 4))
-            parts = [
-                em_precompute(stacked, c_emb, t_all[i:i + chunk],
-                              out_dtype=mods_dtype)
-                for i in range(0, steps_total, chunk)
-            ]
-            allmods = jnp.concatenate(parts, axis=0)
+        itemsize = jnp.dtype(mods_dtype).itemsize
+        mods_bytes = (num_sampling_steps + 1) * rows * width * itemsize
+        limit = int(os.environ.get("BITDANCE_MODS_CHUNK_MB", "256")) \
+            * 1024 * 1024
+        if mods_bytes > limit:
+            n_chunks = -(-mods_bytes // limit)
+            chunk = -(-num_sampling_steps // n_chunks)
+            x = x0
+            s0 = 0
+            while s0 < num_sampling_steps:
+                c = min(chunk, num_sampling_steps - s0)
+                last = s0 + c >= num_sampling_steps
+                n_rows = c + 1 if last else c
+                t_sl = t_all[s0:s0 + n_rows]
+                mods_c = em_precompute(stacked, c_emb, t_sl,
+                                       out_dtype=mods_dtype)
+                x = fused_em_sample(
+                    stacked, x, noise[s0:s0 + c], mods_c, t_sl,
+                    dt_all[s0:s0 + n_rows], cfg_arr,
+                    final_chunk=last, **common)
+                s0 += c
+            out = x
         else:
             allmods = em_precompute(stacked, c_emb, t_all,
                                     out_dtype=mods_dtype)
-        out = fused_em_sample(stacked, x0, noise, allmods, t_all, dt_all,
-                              cfg_arr, **common)
+            out = fused_em_sample(stacked, x0, noise, allmods, t_all,
+                                  dt_all, cfg_arr, **common)
     else:
         # chunk the precomputed-mods buffer when it would be large (GBs at
         # 14B width with multi-image batches); divisor-of-S chunks keep the
@@ -634,7 +651,7 @@ def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
     """Sampler dispatch without a bound flax module (stacked-only mode)."""
     from bitdance_tpu.ops.fused_head import (
         fused_net_available,
-        streamed_em_available,
+        streamed_em_preferred,
     )
 
     rows = 1
@@ -652,7 +669,7 @@ def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
     )
     assert ok, "stacked-only sampler requires the stacked-path shape contract"
     use_kernel = (fused_net_available(head.ch_latent, rows, head.attention)
-                  or streamed_em_available(
+                  or streamed_em_preferred(
                       head.ch_latent, rows, head.attention,
                       weight_itemsize=_quant_itemsize(
                           head.sample_weight_quant)))

@@ -475,7 +475,7 @@ def _fused_em_kernel(
     *rest,
     num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
     groups: int, bounded: bool, attention: bool, last_step_size: float,
-    quant: bool, eps: float = 1e-6,
+    quant: bool, final_chunk: bool = True, eps: float = 1e-6,
 ):
     rest = list(rest)
     w1_s = w2_s = wqkv_s = wo_s = None
@@ -547,8 +547,14 @@ def _fused_em_kernel(
             score = (t * vc - x) / var
             drift = vc + (1.0 - t) * score
             ns = jnp.sqrt(2.0 * (1.0 - t) * dt)
-            x_vm[...] = x + drift * dt \
-                + ns * noise_ref[0].astype(jnp.float32)
+            xn = x + drift * dt + ns * noise_ref[0].astype(jnp.float32)
+            x_vm[...] = xn
+            if not final_chunk:
+                # intermediate chunk of a step-chunked sample (grid stops
+                # at num_steps): hand the post-EM state to the next chunk
+                @pl.when(s == num_steps - 1)
+                def _write_out():
+                    o_ref[...] = xn.astype(o_ref.dtype)
 
         @pl.when(s == num_steps)
         def _final_euler():
@@ -568,7 +574,7 @@ def _fused_em_kernel_resident(
     *rest,
     num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
     groups: int, bounded: bool, attention: bool, last_step_size: float,
-    quant: bool, eps: float = 1e-6,
+    quant: bool, final_chunk: bool = True, eps: float = 1e-6,
 ):
     """Weights-RESIDENT twin of _fused_em_kernel: grid = (num_steps+1,)
     with every block's weights held in VMEM for the whole sampling loop
@@ -631,7 +637,12 @@ def _fused_em_kernel_resident(
         score = (t * vc - x) / var
         drift = vc + (1.0 - t) * score
         ns = jnp.sqrt(2.0 * (1.0 - t) * dt)
-        x_vm[...] = x + drift * dt + ns * noise_ref[0].astype(jnp.float32)
+        xn = x + drift * dt + ns * noise_ref[0].astype(jnp.float32)
+        x_vm[...] = xn
+        if not final_chunk:
+            @pl.when(s == num_steps - 1)
+            def _write_out():
+                o_ref[...] = xn.astype(o_ref.dtype)
 
     @pl.when(s == num_steps)
     def _final_euler():
@@ -651,7 +662,7 @@ def _fused_em_kernel_streamed(
     *rest,
     num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
     groups: int, bounded: bool, last_step_size: float, quant: bool,
-    tiles: tuple, hidden: int, eps: float = 1e-6,
+    tiles: tuple, hidden: int, final_chunk: bool = True, eps: float = 1e-6,
 ):
     """Sub-block-TILED twin of _fused_em_kernel for heads whose PER-BLOCK
     weights exceed VMEM (the 5120-wide 14B T2I head: w1 alone is 78MB int8).
@@ -830,8 +841,12 @@ def _fused_em_kernel_streamed(
             score = (tv * vc - x) / var
             drift = vc + (1.0 - tv) * score
             ns = jnp.sqrt(2.0 * (1.0 - tv) * dt)
-            x_vm[...] = x + drift * dt \
-                + ns * noise_ref[0].astype(jnp.float32)
+            xn = x + drift * dt + ns * noise_ref[0].astype(jnp.float32)
+            x_vm[...] = xn
+            if not final_chunk:
+                @pl.when(s == num_steps - 1)
+                def _write_out():
+                    o_ref[...] = xn.astype(o_ref.dtype)
 
         @pl.when(s == num_steps)
         def _final_euler():
@@ -864,35 +879,50 @@ def _pick_stream_tile(c_dim: int, hidden: int, rows: int,
 
 def streamed_em_available(c_dim: int, rows: int, attention: bool,
                           hidden: int | None = None,
-                          weight_itemsize: float = 1,
-                          policy: bool = True) -> bool:
-    """Feasibility of the sub-block-tiled streamed EM kernel: attention-
+                          weight_itemsize: float = 1) -> bool:
+    """FEASIBILITY of the sub-block-tiled streamed EM kernel: attention-
     family SwiGLU heads with tileable widths that fit the VMEM model.
-    BITDANCE_STREAMED_EM=0 disables the path (dispatch falls back to the
-    stacked XLA sampler). With `policy` (the dispatch default) this also
-    encodes the measured routing preference; policy=False answers only
-    "can the kernel run" (the explicit streamed=True path and tests)."""
-    import os
-
-    if os.environ.get("BITDANCE_STREAMED_EM", "1") == "0":
-        return False
+    Answers only "can the kernel run"; the dispatch-preference question
+    (should it) is streamed_em_preferred."""
     if not attention or c_dim % 128 != 0:
-        return False
-    if policy and weight_itemsize < 1:
-        # int4-packed weights: measured 10.52 vs 4.89 ms/net-call against
-        # the stacked XLA sampler at the 14B head geometry (C=5120 H=7680
-        # R=256) — the per-tile VPU nibble unpack dominates once the weight
-        # DMA is halved, so int4 heads route to the stacked sampler, which
-        # overlaps its (one-per-scan-step) unpack with the MXU work.
         return False
     hidden = int(c_dim * 1.5) if hidden is None else hidden
     return _pick_stream_tile(c_dim, hidden, rows, weight_itemsize) is not None
 
 
+def streamed_em_preferred(c_dim: int, rows: int, attention: bool,
+                          hidden: int | None = None,
+                          weight_itemsize: float = 1) -> bool:
+    """ROUTING preference for the streamed EM kernel: NEVER by default.
+
+    Measured end-to-end at the flagship serving config (true-14B width,
+    28L int8 W8A8 LLM + int8 KV, 2 images, 1024px): streamed kernel
+    17.69 s/image vs stacked XLA sampler 7.31 — a 2.4x regression. In the
+    beyond-VMEM regime the kernel re-streams every sub-block weight tile
+    from HBM once per (step, block) with no cross-step reuse, while the
+    stacked sampler's lax.scan lets XLA software-pipeline the identical
+    weight traffic behind MXU work; int4 additionally pays the per-tile
+    VPU nibble unpack each visit (measured 10.52 vs 4.89 ms/net-call at
+    C=5120 H=7680 R=256). Narrower heads never reach this question — their
+    per-block weights fit VMEM and route through fused_net_available — so
+    no regime remains where streaming wins.
+
+    BITDANCE_STREAMED_EM=force re-enables routing (re-measurement on new
+    hardware/toolchains); =0 keeps meaning OFF for ladder compatibility.
+    The kernel itself stays exercised via explicit streamed=True (tests,
+    benchmarks/bench_streamed_head.py)."""
+    import os
+
+    if os.environ.get("BITDANCE_STREAMED_EM", "") != "force":
+        return False
+    return streamed_em_available(c_dim, rows, attention, hidden,
+                                 weight_itemsize)
+
+
 def _fused_em_sample_streamed(
     stacked, x0, noise, allmods, t_all, dt_all, cfg, *,
     num_blocks, switch_freq, n_head, groups, attention, bounded,
-    last_step_size, quant, num_steps, interpret,
+    last_step_size, quant, num_steps, interpret, final_chunk=True,
 ):
     """pallas_call wrapper for _fused_em_kernel_streamed. `allmods` is the
     standard combined layout [S+1, R, A*6C + 2C]; the kernel views it through
@@ -1008,11 +1038,12 @@ def _fused_em_sample_streamed(
         _fused_em_kernel_streamed, num_blocks=num_blocks,
         num_steps=num_steps, switch_freq=switch_freq, n_head=n_head,
         groups=groups, bounded=bounded, last_step_size=last_step_size,
-        quant=quant, tiles=(t_q, t_o, t_1, t_2), hidden=hidden)
+        quant=quant, tiles=(t_q, t_o, t_1, t_2), hidden=hidden,
+        final_chunk=final_chunk)
 
     return pl.pallas_call(
         kernel,
-        grid=(num_steps + 1, num_blocks, tt_all),
+        grid=(num_steps + (1 if final_chunk else 0), num_blocks, tt_all),
         in_specs=specs,
         out_specs=pl.BlockSpec(x0.shape, lambda s, l, t: (0, 0)),
         out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32),
@@ -1044,6 +1075,7 @@ def fused_em_sample(
     interpret: bool = False,
     resident: bool | None = None,
     streamed: bool | None = None,
+    final_chunk: bool = True,
 ) -> jax.Array:
     """Entire EM sampling loop (sampling_x.py:44-97) as ONE kernel.
 
@@ -1052,6 +1084,14 @@ def fused_em_sample(
     once per (step, block); per-step adaLN/final mods arrive precomputed
     (one concatenated matmul per AR step outside, instead of streaming the
     big ada projections 50x). CFG rows are ordered [cond; uncond].
+
+    final_chunk=False runs a PARTIAL sample — num_steps EM updates, NO
+    final euler step (grid stops at num_steps), returning the post-EM state
+    for a subsequent call to continue from. This lets the caller chunk the
+    sampler over steps so `allmods` only ever holds one chunk's mods (the
+    full 51-step buffer is 1.87GB at 14B/2-image width — an HBM-peak
+    problem, see diff_head._run_fused_sample). t_all/dt_all/allmods then
+    carry num_steps entries instead of num_steps+1.
     """
     num_steps = noise.shape[0]
     switch_freq = max(1, num_blocks // num_ada)
@@ -1077,7 +1117,8 @@ def fused_em_sample(
             num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
             groups=groups, attention=attention, bounded=bounded,
             last_step_size=last_step_size, quant=quant,
-            num_steps=num_steps, interpret=interpret)
+            num_steps=num_steps, interpret=interpret,
+            final_chunk=final_chunk)
 
     # per-(step, block) streaming needs a whole block's weights double-
     # buffered in VMEM; beyond that (the 5120-wide 14B head) switch to the
@@ -1091,14 +1132,15 @@ def fused_em_sample(
         int4 = 2 * stacked["w1"].shape[1] == c_dim
         assert streamed_em_available(
             c_dim, rows, attention, hidden,
-            0.5 if int4 else stacked["w1"].dtype.itemsize,
-            policy=False), (c_dim, rows, attention, hidden)
+            0.5 if int4 else stacked["w1"].dtype.itemsize), \
+            (c_dim, rows, attention, hidden)
         return _fused_em_sample_streamed(
             stacked, x0, noise, allmods, t_all, dt_all, cfg,
             num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
             groups=groups, attention=attention, bounded=bounded,
             last_step_size=last_step_size, quant=quant,
-            num_steps=num_steps, interpret=interpret)
+            num_steps=num_steps, interpret=interpret,
+            final_chunk=final_chunk)
 
     const = lambda arr: pl.BlockSpec(arr.shape, lambda s, l: (0,) * arr.ndim)
     per_block = lambda arr: pl.BlockSpec(
@@ -1146,11 +1188,12 @@ def fused_em_sample(
         _fused_em_kernel, num_blocks=num_blocks, num_steps=num_steps,
         switch_freq=switch_freq, n_head=n_head, groups=groups,
         bounded=bounded, attention=attention,
-        last_step_size=last_step_size, quant=quant)
+        last_step_size=last_step_size, quant=quant,
+        final_chunk=final_chunk)
 
     return pl.pallas_call(
         kernel,
-        grid=(num_steps + 1, num_blocks),
+        grid=(num_steps + (1 if final_chunk else 0), num_blocks),
         in_specs=specs,
         out_specs=pl.BlockSpec(x0.shape, lambda s, l: (0, 0)),
         out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32),
@@ -1169,7 +1212,7 @@ def fused_em_sample(
 def _fused_em_sample_resident(
     stacked, x0, noise, allmods, t_all, dt_all, cfg, *,
     num_blocks, switch_freq, n_head, groups, attention, bounded,
-    last_step_size, quant, num_steps, interpret,
+    last_step_size, quant, num_steps, interpret, final_chunk=True,
 ):
     """grid (num_steps+1,) variant with every weight as a VMEM-resident
     const input (see _fused_em_kernel_resident)."""
@@ -1206,10 +1249,11 @@ def _fused_em_sample_resident(
         _fused_em_kernel_resident, num_blocks=num_blocks,
         num_steps=num_steps, switch_freq=switch_freq, n_head=n_head,
         groups=groups, bounded=bounded, attention=attention,
-        last_step_size=last_step_size, quant=quant)
+        last_step_size=last_step_size, quant=quant,
+        final_chunk=final_chunk)
     return pl.pallas_call(
         kernel,
-        grid=(num_steps + 1,),
+        grid=(num_steps + (1 if final_chunk else 0),),
         in_specs=specs,
         out_specs=pl.BlockSpec(x0.shape, lambda s: (0, 0)),
         out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32),

@@ -215,7 +215,7 @@ def generate_tokens(
 
     One-program convenience composition (tests, CPU paths). The serving
     pipeline compiles prefill_t2i / decode_t2i separately and donates the
-    cache between them (see T2IPipeline._compiled)."""
+    cache between them (see T2IPipeline._pre_compiled/_dec_compiled)."""
     cache, hidden = prefill_t2i(
         bundle, prompt_ids, prompt_pad, img_start_ids,
         latent_h=latent_h, latent_w=latent_w, num_images=num_images,
@@ -245,14 +245,65 @@ class T2IPipeline:
     PROMPT_BUCKETS = (64, 128, 256, 512)
 
     def __init__(self, bundle: T2IModelBundle, tokenizer=None,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False, force_one_program: bool = False):
         self.bundle = bundle
         self.tokenizer = tokenizer
         self.kv_int8 = kv_int8
+        # escape hatch (also env BITDANCE_ONE_PROGRAM=1): skip the split
+        # prefill/decode handoff entirely — slower (one in-program cache
+        # copy) but has no layout handoff to get wrong
+        import os
+
+        self.force_one_program = force_one_program or (
+            os.environ.get("BITDANCE_ONE_PROGRAM", "0") == "1")
+        # BITDANCE_PHASE_TIMING=1: populate self.last_timing with per-phase
+        # wall seconds {prefill, decode, vae} on every generate() call via
+        # host-readback fences (block_until_ready does not fence on the
+        # axon tunnel). Costs a few small transfers; off by default.
+        self.phase_timing = os.environ.get(
+            "BITDANCE_PHASE_TIMING", "0") == "1"
+        self.last_timing: dict = {}
         self.pos_table = build_pos_table(bundle)
         self._jitted = {}
 
-    def _compiled(self, P, latent_h, latent_w, n, steps):
+    def _fns(self, P, latent_h, latent_w, n, steps):
+        """Un-jitted (fn_pre, fn_dec, fn_onep) closures for one geometry."""
+        base = self.bundle
+
+        # Params travel as jit ARGUMENTS — closing over them embeds the
+        # full 14B weights as HLO constants, which overflows the compile
+        # pipeline (multi-hundred-MB serialized programs).
+        def rebind(params3):
+            return dataclasses.replace(
+                base, llm_params=params3["llm"],
+                head_params=params3["head"],
+                head_stacked=params3.get("head_stacked"),
+                projector_params=params3["proj"])
+
+        def fn_pre(params3, prompt_ids, prompt_pad, start_ids):
+            return prefill_t2i(
+                rebind(params3), prompt_ids, prompt_pad, start_ids,
+                latent_h=latent_h, latent_w=latent_w, num_images=n,
+                kv_int8=self.kv_int8)
+
+        def fn_dec(params3, cache, hidden, prompt_pad, pe, cfg_scale, rng):
+            return decode_t2i(
+                rebind(params3), cache, hidden, prompt_pad, pe, rng,
+                prompt_len=P, latent_h=latent_h, latent_w=latent_w,
+                num_images=n, guidance_scale=cfg_scale,
+                num_sampling_steps=steps)
+
+        def fn_onep(params3, prompt_ids, prompt_pad, start_ids, pe,
+                    cfg_scale, rng):
+            return generate_tokens(
+                rebind(params3), prompt_ids, prompt_pad, start_ids, pe, rng,
+                latent_h=latent_h, latent_w=latent_w, num_images=n,
+                guidance_scale=cfg_scale, num_sampling_steps=steps,
+                kv_int8=self.kv_int8)
+
+        return fn_pre, fn_dec, fn_onep
+
+    def _pre_compiled(self, key):
         # cfg_scale is a TRACED argument, not part of the compile key: a
         # guidance slider must not trigger a recompile (app.py serves
         # arbitrary float scales; compiles cost minutes at 14B size).
@@ -262,55 +313,64 @@ class T2IPipeline:
         # decode-scan carry boundary (1.8GB at 4-image 14B/1024px), and that
         # copy is what capped the images-per-chip batch.
         #
-        # The cache layouts are PINNED to the default (descending
-        # major-to-minor) on both programs: left to itself, XLA picks a
-        # transposed layout for decode's cache OUTPUT while its input keeps
-        # the default, so the donated buffer can't alias byte-for-byte and
-        # copy-insertion materializes one full entry copy + one exit
-        # transpose PER BUFFER (measured: 3.62G of HLO temps at 28L/4-image
-        # — the difference between fitting and OOM on a 16G chip).
-        key = (P, latent_h, latent_w, n, steps)
-        if key not in self._jitted:
-            base = self.bundle
+        # Prefill's cache output layout is left to XLA. At flagship size
+        # XLA SILENTLY OVERRIDES a requested (pinned) output layout — it
+        # prefers a transposed (0,1,3,2,4) layout for the GB-scale ring
+        # buffers — so requesting anything here is wishful. Instead the
+        # decode program adapts: _dec_compiled reads the ACTUAL Format off
+        # the arrays prefill produced and pins decode's cache in/out
+        # shardings to that observed layout, so the donated buffer aliases
+        # byte-for-byte (zero cache copies) no matter what XLA chose.
+        if ("pre", key) not in self._jitted:
+            fn_pre, _, _ = self._fns(*key)
+            self._jitted[("pre", key)] = jax.jit(fn_pre)
+        return self._jitted[("pre", key)]
 
-            # Params travel as jit ARGUMENTS — closing over them embeds the
-            # full 14B weights as HLO constants, which overflows the compile
-            # pipeline (multi-hundred-MB serialized programs).
-            def rebind(params3):
-                return dataclasses.replace(
-                    base, llm_params=params3["llm"],
-                    head_params=params3["head"],
-                    head_stacked=params3.get("head_stacked"),
-                    projector_params=params3["proj"])
+    def _dec_compiled(self, key, cache_fmts):
+        fmt_key = ("dec", key, str(jax.tree.leaves(cache_fmts)))
+        if fmt_key not in self._jitted:
+            _, fn_dec, _ = self._fns(*key)
+            self._jitted[fmt_key] = jax.jit(
+                fn_dec, donate_argnums=(1,),
+                in_shardings=(None, cache_fmts, None, None, None,
+                              None, None),
+                out_shardings=(None, cache_fmts))
+        return self._jitted[fmt_key]
 
-            def fn_pre(params3, prompt_ids, prompt_pad, start_ids):
-                return prefill_t2i(
-                    rebind(params3), prompt_ids, prompt_pad, start_ids,
-                    latent_h=latent_h, latent_w=latent_w, num_images=n,
-                    kv_int8=self.kv_int8)
+    def _relayout_compiled(self, key, cache_fmts):
+        """Copy program pinning the cache to the DEFAULT layout.
 
-            def fn_dec(params3, cache, hidden, prompt_pad, pe, cfg_scale,
-                       rng):
-                return decode_t2i(
-                    rebind(params3), cache, hidden, prompt_pad, pe, rng,
-                    prompt_len=P, latent_h=latent_h, latent_w=latent_w,
-                    num_images=n, guidance_scale=cfg_scale,
-                    num_sampling_steps=steps)
+        The real prefill program's cache output layout request is silently
+        overridden by XLA at GB scale (it prefers a transposed
+        (..., S, H, D) order), but the flash-decode Pallas kernels inside
+        the decode scan need the default head-major layout — feeding the
+        transposed buffer straight in makes XLA relayout the scan carry
+        around every kernel call (measured 17.8 vs 8.3 s/image at 28L
+        int8-KV). A standalone copy program DOES honor the default-layout
+        pin (verified at [28,4,8,4226,128] bf16), so one ~1GB copy per
+        generation buys a copy-free decode loop."""
+        from jax.experimental.layout import Format, Layout
 
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
+        fmt_key = ("relayout", key, str(jax.tree.leaves(cache_fmts)))
+        if fmt_key not in self._jitted:
+            def default_fmt(fmt):
+                nd = len(fmt.layout.major_to_minor)
+                return Format(Layout(tuple(range(nd))), fmt.sharding)
 
-            fmt5 = Format(Layout((0, 1, 2, 3, 4)),
-                          SingleDeviceSharding(jax.devices()[0]))
-            cache_fmt = ({"kv": fmt5, "sc": fmt5} if self.kv_int8
-                         else {"k": fmt5, "v": fmt5})
-            self._jitted[key] = (
-                jax.jit(fn_pre, out_shardings=(cache_fmt, None)),
-                jax.jit(fn_dec, donate_argnums=(1,),
-                        in_shardings=(None, cache_fmt, None, None, None,
-                                      None, None),
-                        out_shardings=(None, cache_fmt)))
-        return self._jitted[key]
+            self._jitted[fmt_key] = jax.jit(
+                lambda c: jax.tree.map(lambda a: a + jnp.zeros((), a.dtype), c),
+                donate_argnums=(0,),
+                in_shardings=(cache_fmts,),
+                out_shardings=jax.tree.map(default_fmt, cache_fmts))
+        return self._jitted[fmt_key]
+
+    def _onep_compiled(self, key):
+        # Fallback: prefill + decode in ONE program (no handoff to get
+        # wrong; costs one in-program cache copy at the scan boundary).
+        if ("onep", key) not in self._jitted:
+            _, _, fn_onep = self._fns(*key)
+            self._jitted[("onep", key)] = jax.jit(fn_onep)
+        return self._jitted[("onep", key)]
 
     def _params3(self):
         return {"llm": self.bundle.llm_params,
@@ -363,25 +423,62 @@ class T2IPipeline:
             pads.append(pad)
 
         pe = pos_embed_2d(self.pos_table, latent_h, latent_w, ps=b.ps)
-        fn_pre, fn_dec = self._compiled(P, latent_h, latent_w, num_images,
-                                        num_sampling_steps)
+        key = (P, latent_h, latent_w, num_images, num_sampling_steps)
         params3 = self._params3()
         pads_arr = jnp.asarray(pads, jnp.int32)
-        cache, hidden = fn_pre(
-            params3,
-            jnp.asarray(rows, jnp.int32),
-            pads_arr,
-            jnp.asarray(start_ids, jnp.int32),
-        )
-        tokens, dead_cache = fn_dec(
-            params3, cache, hidden, pads_arr, pe,
-            jnp.float32(guidance_scale),
-            jax.random.PRNGKey(seed),
-        )
-        # the returned cache exists only as the donation target; drop the
-        # reference NOW — holding it through the VAE decode keeps 3.6GB
-        # (4-image 14B/1024px) alive alongside the decoder's feature maps
-        del dead_cache, cache, hidden
+        rows_arr = jnp.asarray(rows, jnp.int32)
+        start_arr = jnp.asarray(start_ids, jnp.int32)
+        cfg_arr = jnp.float32(guidance_scale)
+        rng = jax.random.PRNGKey(seed)
+
+        import time as _time
+
+        def _fence(x):
+            return float(jnp.sum(x[..., :1].astype(jnp.float32)))
+
+        t0 = _time.perf_counter()
+        if self.phase_timing:
+            self.last_timing = {}
+        tokens = None
+        if not self.force_one_program:
+            cache, hidden = self._pre_compiled(key)(
+                params3, rows_arr, pads_arr, start_arr)
+            if self.phase_timing:
+                _fence(hidden)
+                self.last_timing = {"prefill": _time.perf_counter() - t0}
+                t0 = _time.perf_counter()
+            cache_fmts = jax.tree.map(lambda a: a.format, cache)
+            # force the cache back to the DEFAULT layout before decode
+            # (see _relayout_compiled) when prefill produced a transposed one
+            if any(tuple(f.layout.major_to_minor)
+                   != tuple(range(len(f.layout.major_to_minor)))
+                   for f in jax.tree.leaves(cache_fmts)):
+                cache = self._relayout_compiled(key, cache_fmts)(cache)
+                cache_fmts = jax.tree.map(lambda a: a.format, cache)
+            # pin decode's cache in/out to the layout the buffer ACTUALLY
+            # has so jit accepts it and donation aliases byte-for-byte
+            try:
+                tokens, dead_cache = self._dec_compiled(key, cache_fmts)(
+                    params3, cache, hidden, pads_arr, pe, cfg_arr, rng)
+                # the returned cache exists only as the donation target;
+                # drop the reference NOW — holding it through the VAE decode
+                # keeps 3.6GB (4-image 14B/1024px) alive alongside the
+                # decoder's feature maps
+                del dead_cache
+            except ValueError as e:  # layout handoff rejected by jit
+                import warnings
+
+                warnings.warn(
+                    "t2i prefill->decode cache handoff failed "
+                    f"({e}); falling back to the one-program path")
+            del cache, hidden
+        if tokens is None:
+            tokens = self._onep_compiled(key)(
+                params3, rows_arr, pads_arr, start_arr, pe, cfg_arr, rng)
+        if self.phase_timing:
+            _fence(tokens)
+            self.last_timing["decode"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
         # decode one image at a time: at 1024px the decoder's NHWC feature
         # maps are GBs per image, and with 14B weights resident a batched
         # decode OOMs where generation itself fits
@@ -391,4 +488,6 @@ class T2IPipeline:
             img = dec(b.ae_params, tokens[i: i + 1])
             imgs.append(np.asarray(
                 jnp.clip(127.5 * img.astype(jnp.float32) + 128.0, 0, 255)))
+        if self.phase_timing:
+            self.last_timing["vae"] = _time.perf_counter() - t0
         return np.concatenate(imgs, axis=0).astype(np.uint8)

@@ -396,3 +396,42 @@ def test_fused_em_streamed_matches_per_block(quant):
                           **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("variant", ["per_block", "resident", "streamed"])
+def test_fused_em_step_chunked_matches_single_shot(variant):
+    """Step-chunked sampling (final_chunk=False chaining, the 14B HBM-peak
+    fix in diff_head._run_fused_sample) == one whole-loop kernel call, for
+    every kernel variant."""
+    from bitdance_tpu.ops.fused_head import em_precompute, fused_em_sample
+
+    net, params = _net_and_params(True)
+    steps = 5
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(
+        net, params, True, steps)
+    x0f = x0.reshape(-1, 8)
+    rng = np.random.default_rng(17)
+    noise = jnp.asarray(rng.normal(size=(steps,) + x0f.shape), jnp.float32)
+
+    stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32)
+    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+    kw = dict(num_blocks=4, num_ada=2, n_head=2, groups=groups,
+              attention=True, bounded=True, interpret=True,
+              resident=variant == "resident",
+              streamed=variant == "streamed")
+    want = fused_em_sample(stacked, x0f, noise, allmods, t_all, dt_all,
+                           jnp.float32(2.0), **kw)
+
+    x = x0f
+    s0 = 0
+    for c in (2, 2, 1):                      # uneven chunks on purpose
+        last = s0 + c >= steps
+        n_rows = c + 1 if last else c
+        t_sl = t_all[s0:s0 + n_rows]
+        mods_c = em_precompute(stacked, c_emb, t_sl, out_dtype=jnp.float32)
+        x = fused_em_sample(stacked, x, noise[s0:s0 + c], mods_c, t_sl,
+                            dt_all[s0:s0 + n_rows], jnp.float32(2.0),
+                            final_chunk=last, **kw)
+        s0 += c
+    np.testing.assert_allclose(np.asarray(x), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
