@@ -245,10 +245,27 @@ class T2IPipeline:
     PROMPT_BUCKETS = (64, 128, 256, 512)
 
     def __init__(self, bundle: T2IModelBundle, tokenizer=None,
-                 kv_int8: bool = False, force_one_program: bool = False):
+                 kv_int8: bool = False, force_one_program: bool = False,
+                 mesh=None):
         self.bundle = bundle
         self.tokenizer = tokenizer
         self.kv_int8 = kv_int8
+        # Tensor-parallel serving: with a mesh carrying a tp axis, the LLM
+        # weights are sharded over it (parallel/tp.py rules — heads/MLP
+        # hidden over "tp"; GSPMD inserts the o_proj/down_proj all-reduces)
+        # and everything downstream (KV cache, head, VAE) follows by
+        # propagation. The reference serves strictly single-GPU
+        # (t2i_pipeline.py:44-155); this is the TPU-native scale-out the
+        # ICI mesh makes nearly free. force_one_program is recommended
+        # under a mesh: the observed-layout handoff is a single-device
+        # serving optimization.
+        self.mesh = mesh
+        if mesh is not None:
+            from bitdance_tpu.parallel.tp import shard_qwen3_params
+
+            self.bundle = dataclasses.replace(
+                bundle, llm_params=shard_qwen3_params(bundle.llm_params,
+                                                      mesh))
         # escape hatch (also env BITDANCE_ONE_PROGRAM=1): skip the split
         # prefill/decode handoff entirely — slower (one in-program cache
         # copy) but has no layout handoff to get wrong

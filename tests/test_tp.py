@@ -50,3 +50,36 @@ def test_tp_rules_fall_back_on_indivisible():
     assert "tp" not in str(shardings["layers"]["gate_proj"].spec)
     # vocab 126 not divisible by 8 -> replicated embed
     assert "tp" not in str(shardings["embed_tokens"].spec)
+
+
+def test_tp_t2i_serving_matches_single_device():
+    """TP serving for the flagship pipeline (T2IPipeline(mesh=...)): the
+    full prompt->image path with the LLM sharded over a tp axis produces
+    the same images as the replicated single-device run. The reference
+    serves strictly single-GPU (t2i_pipeline.py:44-155); TP is the
+    TPU-native scale-out. Tokens are sign-quantized so TP's different
+    all-reduce summation order may flip exact-zero boundaries — assert
+    near-total agreement plus identical shapes/dtypes."""
+    from test_t2i_pipeline import StubTokenizer, _tiny_bundle
+
+    from bitdance_tpu.pipelines.t2i import T2IPipeline
+
+    b = _tiny_bundle()
+    want_pipe = T2IPipeline(b, tokenizer=StubTokenizer(),
+                            force_one_program=True)
+    want = want_pipe.generate("a tp parity test prompt", height=8, width=8,
+                              num_sampling_steps=6, guidance_scale=3.0,
+                              num_images=2, seed=7)
+
+    mesh = create_mesh(replica=1, fsdp=2, tp=4)
+    tp_pipe = T2IPipeline(b, tokenizer=StubTokenizer(),
+                          force_one_program=True, mesh=mesh)
+    sh = tp_pipe.bundle.llm_params["layers"]["q_proj"].sharding.spec
+    assert "tp" in str(sh)
+    got = tp_pipe.generate("a tp parity test prompt", height=8, width=8,
+                           num_sampling_steps=6, guidance_scale=3.0,
+                           num_images=2, seed=7)
+
+    assert got.shape == want.shape and got.dtype == want.dtype
+    agree = float(np.mean(got == want))
+    assert agree > 0.99, f"TP images diverge from replicated: {agree:.4f}"
