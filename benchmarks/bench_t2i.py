@@ -114,6 +114,8 @@ def main():
                     help="int8 W8A8 LLM matmuls (ops/int8.py): halves "
                          "weight HBM traffic and doubles the single-chip "
                          "depth budget at true 14B width")
+    ap.add_argument("--vae-int8", action="store_true",
+                    help="W8A8 int8 conv path for the VAE decoder")
     ap.add_argument("--quant-llm-int4", action="store_true",
                     help="packed int4 W4A8 LLM matmuls (ops/int4.py): the "
                          "capacity config — the FULL 40-layer 14B stack is "
@@ -161,7 +163,8 @@ def main():
     to_bf16 = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
     dd = dict(z_channels=z, in_channels=3, out_ch=3, ch=128,
               ch_mult=[1, 1, 2, 2, 4], num_res_blocks=2)
-    ae = VQModel(ddconfig=dd, dtype=jnp.bfloat16)
+    ae = VQModel(ddconfig=dd, dtype=jnp.bfloat16,
+                 conv_int8=args.vae_int8)
     lat = args.height // 16
     ae_params = to_bf16(jax.jit(lambda k, x: ae.init(
         k, x, method=VQModel.decode, noise_rng=jax.random.PRNGKey(9)))(

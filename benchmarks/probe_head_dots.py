@@ -1,0 +1,143 @@
+"""Where do the stacked sampler's 3.9 ms/net-call go?
+
+Times the pieces of one net_forward at the 14B head geometry (C=5120,
+H=7680, R=256, int8 W8A8) in isolation, each as a k-vs-2k marginal with
+data-chained iterations (the axon tunnel's ~20-30ms dispatch cost and the
+lack of a real block_until_ready fence make naive timing useless):
+
+  dots-only   : the 4 matmuls of one block, s8xs8->s32, weights cycled
+                through 6 buffers like the real scan
+  quant-only  : the per-row activation quantize (abs-max/round/clip) alone
+  block-glue  : full _block_body_xla (dots + LN/mods/attention/silu glue)
+
+Roofline for the 4 dots: 222MB weights -> 0.27 ms BW; 116 GFLOP(int8) ->
+0.29 ms compute; so ~0.3 ms/block, 1.8 ms/net-call is speed-of-light.
+"""
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from bitdance_tpu.ops import fused_head as fh
+
+C, H, R, L = 5120, 7680, 256, 6
+
+
+def fence(x):
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0][..., :1]
+                         .astype(jnp.float32)))
+
+
+def marginal_ms(make_fn, args, k=8):
+    fk, f2k = make_fn(k), make_fn(2 * k)
+    fence(fk(*args)); fence(f2k(*args))
+    ts = {}
+    for name, f in (("k", fk), ("2k", f2k)):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fence(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        ts[name] = best
+    return (ts["2k"] - ts["k"]) / k * 1e3
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    ks = iter(jax.random.split(key, 64))
+    n = lambda *s: jax.random.normal(next(ks), s, jnp.float32) * 0.02
+
+    # eager weight construction (a jitted builder leaks `n`'s intermediate
+    # tracers into the later eagerly-built nrm/mods constants)
+    def mk():
+        qc = jax.jit(fh.quantize_cols)
+        qkv = [qc(n(C, 3 * C)) for _ in range(L)]
+        wo = [qc(n(C, C)) for _ in range(L)]
+        w1 = [qc(n(C, 2 * H)) for _ in range(L)]
+        w2 = [qc(n(H, C)) for _ in range(L)]
+        stk = lambda t: (jnp.stack([a for a, _ in t]),
+                         jnp.stack([s for _, s in t]))
+        return dict(zip(
+            ["wqkv", "wqkv_s", "wo", "wo_s", "w1", "w1_s", "w2", "w2_s"],
+            [x for t in (qkv, wo, w1, w2) for x in stk(t)]))
+
+    w = mk()
+    jax.block_until_ready(jax.tree.leaves(w))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (R, C), jnp.float32)
+
+    # --- dots only: one block's 4 matmuls, blocks cycled like the scan ----
+    def make_dots(iters):
+        @jax.jit
+        def run(w, x0):
+            def block(h, bw):
+                qkv = fh._mmq(h, bw["wqkv"], bw["wqkv_s"])     # [R, 3C]
+                o = fh._mmq(qkv[:, :C], bw["wo"], bw["wo_s"])  # [R, C]
+                h12 = fh._mmq(h + o, bw["w1"], bw["w1_s"])     # [R, 2H]
+                mlp = fh._mmq(h12[:, :H], bw["w2"], bw["w2_s"])
+                return h + 1e-6 * mlp, None
+
+            def step(h, _):
+                h, _ = jax.lax.scan(block, h, w)
+                return h, None
+
+            h, _ = jax.lax.scan(step, x0, jnp.arange(iters))
+            return h
+        return lambda *a: run(*a)
+
+    # --- activation quantize only (24 per net-call in the real block) -----
+    def make_quant(iters):
+        @jax.jit
+        def run(w, x0):
+            def step(h, _):
+                for _ in range(4 * L):
+                    sa = jnp.maximum(
+                        jnp.max(jnp.abs(h), axis=1, keepdims=True) / 127.0,
+                        1e-12)
+                    q = jnp.clip(jnp.round(h / sa), -127, 127) \
+                        .astype(jnp.int8)
+                    h = h + 1e-6 * q.astype(jnp.float32) * sa
+                return h, None
+
+            h, _ = jax.lax.scan(step, x0, jnp.arange(iters))
+            return h
+        return lambda *a: run(*a)
+
+    # --- full block body (dots + LN/mods/attention/silu glue) -------------
+    mods = jax.random.normal(jax.random.PRNGKey(2), (R, 6 * C), jnp.float32)
+    nrm = jnp.stack([1 + 0.1 * n(C), 0.1 * n(C)])
+
+    def make_block(iters):
+        @jax.jit
+        def run(w, x0):
+            def block(h, bw):
+                attn_w = (nrm, bw["wqkv"], jnp.zeros((3 * C,), jnp.float32),
+                          bw["wo"], jnp.zeros((C,), jnp.float32),
+                          bw["wqkv_s"], bw["wo_s"])
+                h = fh._block_body_xla(
+                    h, mods, attn_w, nrm, bw["w1"],
+                    jnp.zeros((2 * H,), jnp.float32), bw["w2"],
+                    jnp.zeros((C,), jnp.float32), n_head=40, groups=4,
+                    eps=1e-6, w1_s=bw["w1_s"], w2_s=bw["w2_s"])
+                return h, None
+
+            def step(h, _):
+                h, _ = jax.lax.scan(block, h, w)
+                return h * (1.0 / (1.0 + 1e-9)), None
+
+            h, _ = jax.lax.scan(step, x0, jnp.arange(iters))
+            return h
+        return lambda *a: run(*a)
+
+    dots = marginal_ms(make_dots, (w, x0))
+    print(f"dots-only  (6 blocks x 4 mmq): {dots:.3f} ms/net-call", flush=True)
+    qt = marginal_ms(make_quant, (w, x0))
+    print(f"quant-only (24 row-quantizes): {qt:.3f} ms/net-call", flush=True)
+    blk = marginal_ms(make_block, (w, x0))
+    print(f"full-block (6 x block_body)  : {blk:.3f} ms/net-call", flush=True)
+
+
+if __name__ == "__main__":
+    main()
