@@ -12,6 +12,24 @@ lack of a real block_until_ready fence make naive timing useless):
 
 Roofline for the 4 dots: 222MB weights -> 0.27 ms BW; 116 GFLOP(int8) ->
 0.29 ms compute; so ~0.3 ms/block, 1.8 ms/net-call is speed-of-light.
+
+MEASURED (r3, one v5e, vs the real stacked sampler's 3.92 ms/net-call):
+  dots-only  : 2.10 ms/net-call   (the mmq matmuls are already ~1.17x of
+                                   the weight-streaming roofline — NOT the
+                                   gap)
+  quant-only : 0.08 ms/net-call   (activation row-quantize is negligible)
+  full-block : 2.59 ms/net-call   (LN/attention/silu glue adds ~0.5 ms)
+So ~1.3 ms/net-call (a third of the real sampler) is spent OUTSIDE the
+block bodies (bench_streamed_head's 3.92 ran mods_chunks=1, so the mods
+PREcompute is excluded — the gap is inside the sampling scan). Suspects,
+in order: the per-block `dynamic_slice_in_dim` of the [R, A*6C+2C] mods
+row with a traced group index (em_sample_stacked net_forward), the
+per-step allmods[s] gather from the [S, R, 71680] bf16 buffer, and the
+EM-update/projection glue between net calls. r4 plan: extend this probe
+with an em_sample_stacked-minus-precompute variant to bisect, then
+restructure mods indexing to be gather-free (e.g. nested scan over ada
+groups, or mods as scan xs). Closing the 1.3 ms is worth ~1.5 s/image on
+the flagship config (head = ~85% of decode, decode = ~88% of wall).
 """
 import sys
 import time
