@@ -156,6 +156,44 @@ def main():
     blk = marginal_ms(make_block, (w, x0))
     print(f"full-block (6 x block_body)  : {blk:.3f} ms/net-call", flush=True)
 
+    # --- the real sampler, precompute hoisted OUT of the jit --------------
+    # isolates em_sample_stacked's sampling scan (mods dynamic-slicing,
+    # allmods[s] gathers, EM glue) from the em_precompute cost that
+    # bench_streamed_head's 3.92 ms/net-call figure includes
+    from benchmarks.bench_streamed_head import make_stacked
+
+    steps, ch, R = 50, 32, 256
+    stacked = jax.jit(lambda k: make_stacked(
+        k, C, H, ch, L, 2, True))(jax.random.PRNGKey(7))
+    jax.block_until_ready(jax.tree.leaves(stacked))
+    half = R // 2
+    sx0 = jax.random.normal(jax.random.PRNGKey(8), (half, ch), jnp.float32)
+    nz = jax.random.normal(jax.random.PRNGKey(9), (steps, half, ch),
+                           jnp.float32)
+    t_all = jnp.linspace(0.0, 0.95, steps + 1).astype(jnp.float32)
+    dt_all = jnp.concatenate([t_all[1:] - t_all[:-1],
+                              jnp.zeros((1,), jnp.float32)])
+    c_emb = jax.random.normal(jax.random.PRNGKey(10), (R, C),
+                              jnp.float32) * 0.02
+    allmods = jax.jit(fh.em_precompute)(stacked, c_emb, t_all)
+    jax.block_until_ready(allmods)
+
+    @jax.jit
+    def run_noprec(stacked, sx0, nz, allmods):
+        return fh.em_sample_stacked(
+            stacked, sx0, nz, allmods, t_all, dt_all, jnp.float32(4.0),
+            num_blocks=L, num_ada=2, n_head=40, groups=4,
+            attention=True, bounded=True)
+
+    fence(run_noprec(stacked, sx0, nz, allmods))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fence(run_noprec(stacked, sx0, nz, allmods))
+        best = min(best, time.perf_counter() - t0)
+    print(f"stacked-noprec (50-step scan): {best / steps * 1e3:.3f} "
+          f"ms/net-call", flush=True)
+
 
 if __name__ == "__main__":
     main()
