@@ -162,7 +162,7 @@ def main():
     # bench_streamed_head's 3.92 ms/net-call figure includes
     from benchmarks.bench_streamed_head import make_stacked
 
-    steps, ch, R = 50, 32, 256
+    steps, ch = 50, 32
     stacked = jax.jit(lambda k: make_stacked(
         k, C, H, ch, L, 2, True))(jax.random.PRNGKey(7))
     jax.block_until_ready(jax.tree.leaves(stacked))
