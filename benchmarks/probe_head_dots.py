@@ -149,12 +149,18 @@ def main():
             return h
         return lambda *a: run(*a)
 
-    dots = marginal_ms(make_dots, (w, x0))
-    print(f"dots-only  (6 blocks x 4 mmq): {dots:.3f} ms/net-call", flush=True)
-    qt = marginal_ms(make_quant, (w, x0))
-    print(f"quant-only (24 row-quantizes): {qt:.3f} ms/net-call", flush=True)
-    blk = marginal_ms(make_block, (w, x0))
-    print(f"full-block (6 x block_body)  : {blk:.3f} ms/net-call", flush=True)
+    import os
+
+    if os.environ.get("BITDANCE_PROBE", "all") != "noprec":
+        dots = marginal_ms(make_dots, (w, x0))
+        print(f"dots-only  (6 blocks x 4 mmq): {dots:.3f} ms/net-call",
+              flush=True)
+        qt = marginal_ms(make_quant, (w, x0))
+        print(f"quant-only (24 row-quantizes): {qt:.3f} ms/net-call",
+              flush=True)
+        blk = marginal_ms(make_block, (w, x0))
+        print(f"full-block (6 x block_body)  : {blk:.3f} ms/net-call",
+              flush=True)
 
     # --- the real sampler, precompute hoisted OUT of the jit --------------
     # isolates em_sample_stacked's sampling scan (mods dynamic-slicing,
