@@ -19,17 +19,26 @@ MEASURED (r3, one v5e, vs the real stacked sampler's 3.92 ms/net-call):
                                    gap)
   quant-only : 0.08 ms/net-call   (activation row-quantize is negligible)
   full-block : 2.59 ms/net-call   (LN/attention/silu glue adds ~0.5 ms)
-So ~1.3 ms/net-call (a third of the real sampler) is spent OUTSIDE the
-block bodies (bench_streamed_head's 3.92 ran mods_chunks=1, so the mods
-PREcompute is excluded — the gap is inside the sampling scan). Suspects,
-in order: the per-block `dynamic_slice_in_dim` of the [R, A*6C+2C] mods
-row with a traced group index (em_sample_stacked net_forward), the
-per-step allmods[s] gather from the [S, R, 71680] bf16 buffer, and the
-EM-update/projection glue between net calls. r4 plan: extend this probe
-with an em_sample_stacked-minus-precompute variant to bisect, then
-restructure mods indexing to be gather-free (e.g. nested scan over ada
-groups, or mods as scan xs). Closing the 1.3 ms is worth ~1.5 s/image on
-the flagship config (head = ~85% of decode, decode = ~88% of wall).
+  stacked-noprec: 3.41 ms/net-call (em_sample_stacked with allmods
+                                    precomputed OUTSIDE the jit)
+
+Full decomposition of the real sampler's 3.92 ms/net-call
+(bench_streamed_head, mods_chunks=1, precompute inside the jit):
+  2.10 the 24 W8A8 matmuls      (floor 1.8 — weight streaming)
+  0.49 block-body glue          (LN / 64-token attention / silu)
+  0.82 scan-internal overhead   (per-block dynamic_slice of the
+                                 [R, A*6C+2C] mods row with a traced group
+                                 index, per-step allmods[s] gathers from
+                                 the [S, R, 71680] bf16 buffer, EM update,
+                                 in/f_out projections)
+  0.51 em_precompute            (modcat matmul + 1.9GB allmods buffer
+                                 write+read)
+r4 plan, by size: (1) make mods indexing gather-free (nested scan over
+ada groups, or mods as scan xs) and shrink the EM glue — up to 0.8 ms;
+(2) fuse the mods precompute into the scan or overlap it — up to 0.5 ms;
+(3) squeeze the dots toward the 1.8 floor — 0.3 ms. Ceiling ~2.3
+ms/net-call => ~40% head speedup => flagship ~7.35 -> ~5.5 s/image
+(head = ~85% of decode, decode = ~88% of wall).
 """
 import sys
 import time
