@@ -10,8 +10,13 @@ lack of a real block_until_ready fence make naive timing useless):
   quant-only  : the per-row activation quantize (abs-max/round/clip) alone
   block-glue  : full _block_body_xla (dots + LN/mods/attention/silu glue)
 
-Roofline for the 4 dots: 222MB weights -> 0.27 ms BW; 116 GFLOP(int8) ->
-0.29 ms compute; so ~0.3 ms/block, 1.8 ms/net-call is speed-of-light.
+Roofline for the 4 dots PER BLOCK: 222MB weights -> 0.27 ms BW; 114 GFLOP
+(int8) -> 0.29 ms compute. Per net-call (6 blocks): 1.33GB -> 1.63 ms BW,
+687 GFLOP -> 1.74 ms MXU — the head is simultaneously bandwidth- and
+COMPUTE-bound, so the floor is ~1.74 ms/net-call (plus the inherent 0.48
+ms modcat matmul) and batching more images does NOT amortize it. At 50
+steps x 64 AR steps the head is 1424 TFLOP/image: the flagship compute
+floor is ~3.6 s/image at 100% int8 MFU.
 
 MEASURED (r3, one v5e, vs the real stacked sampler's 3.92 ms/net-call):
   dots-only  : 2.10 ms/net-call   (the mmq matmuls are already ~1.17x of
@@ -160,7 +165,10 @@ def main():
 
     import os
 
-    if os.environ.get("BITDANCE_PROBE", "all") != "noprec":
+    # BITDANCE_PROBE selects a subset: all | parts | blockmods | noprec
+    probe = os.environ.get("BITDANCE_PROBE", "all")
+
+    if probe in ("all", "parts"):
         dots = marginal_ms(make_dots, (w, x0))
         print(f"dots-only  (6 blocks x 4 mmq): {dots:.3f} ms/net-call",
               flush=True)
@@ -171,10 +179,56 @@ def main():
         print(f"full-block (6 x block_body)  : {blk:.3f} ms/net-call",
               flush=True)
 
+    # --- full block + REAL mods machinery (per-step xs row + per-block ----
+    # dynamic_slice with a traced group index) — isolates the mods
+    # selection cost from the em glue: (this - full-block) = mods cost,
+    # (stacked-noprec - this) = em-glue/in-out-proj cost
+    W_mods = 2 * 6 * C + 2 * C
+    allmods50 = jax.random.normal(jax.random.PRNGKey(11), (8, R, W_mods),
+                                  jnp.bfloat16) * 0.02
+
+    def make_blockmods(iters):
+        @jax.jit
+        def run(w, x0, allmods50):
+            idxs = jnp.arange(L, dtype=jnp.int32)
+
+            def step(h, mods_row):
+                def block(h, bw_i):
+                    bw, i = bw_i
+                    g = i // 3
+                    m = jax.lax.dynamic_slice_in_dim(
+                        mods_row, g * 6 * C, 6 * C, axis=1
+                    ).astype(jnp.float32)
+                    attn_w = (nrm, bw["wqkv"],
+                              jnp.zeros((3 * C,), jnp.float32),
+                              bw["wo"], jnp.zeros((C,), jnp.float32),
+                              bw["wqkv_s"], bw["wo_s"])
+                    h = fh._block_body_xla(
+                        h, m, attn_w, nrm, bw["w1"],
+                        jnp.zeros((2 * H,), jnp.float32), bw["w2"],
+                        jnp.zeros((C,), jnp.float32), n_head=40, groups=4,
+                        eps=1e-6, w1_s=bw["w1_s"], w2_s=bw["w2_s"])
+                    return h, None
+
+                h, _ = jax.lax.scan(block, h, (w, idxs))
+                return h * (1.0 / (1.0 + 1e-9)), None
+
+            rows = jnp.tile(allmods50, (-(-iters // 8), 1, 1))[:iters]
+            h, _ = jax.lax.scan(step, x0, rows)
+            return h
+        return lambda *a: run(*a)
+
+    if probe in ("all", "blockmods"):
+        bm = marginal_ms(make_blockmods, (w, x0, allmods50))
+        print(f"block+mods (dyn-slice + xs row): {bm:.3f} ms/net-call",
+              flush=True)
+
     # --- the real sampler, precompute hoisted OUT of the jit --------------
     # isolates em_sample_stacked's sampling scan (mods dynamic-slicing,
     # allmods[s] gathers, EM glue) from the em_precompute cost that
     # bench_streamed_head's 3.92 ms/net-call figure includes
+    if probe not in ("all", "noprec"):
+        return
     from benchmarks.bench_streamed_head import make_stacked
 
     steps, ch = 50, 32
@@ -193,21 +247,22 @@ def main():
     allmods = jax.jit(fh.em_precompute)(stacked, c_emb, t_all)
     jax.block_until_ready(allmods)
 
-    @jax.jit
-    def run_noprec(stacked, sx0, nz, allmods):
-        return fh.em_sample_stacked(
-            stacked, sx0, nz, allmods, t_all, dt_all, jnp.float32(4.0),
-            num_blocks=L, num_ada=2, n_head=40, groups=4,
-            attention=True, bounded=True)
+    for glue in (jnp.float32, jnp.bfloat16):
+        @jax.jit
+        def run_noprec(stacked, sx0, nz, allmods, glue=glue):
+            return fh.em_sample_stacked(
+                stacked, sx0, nz, allmods, t_all, dt_all, jnp.float32(4.0),
+                num_blocks=L, num_ada=2, n_head=40, groups=4,
+                attention=True, bounded=True, glue_dtype=glue)
 
-    fence(run_noprec(stacked, sx0, nz, allmods))
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
         fence(run_noprec(stacked, sx0, nz, allmods))
-        best = min(best, time.perf_counter() - t0)
-    print(f"stacked-noprec (50-step scan): {best / steps * 1e3:.3f} "
-          f"ms/net-call", flush=True)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fence(run_noprec(stacked, sx0, nz, allmods))
+            best = min(best, time.perf_counter() - t0)
+        print(f"stacked-noprec (50-step scan, glue={jnp.dtype(glue).name}): "
+              f"{best / steps * 1e3:.3f} ms/net-call", flush=True)
 
 
 if __name__ == "__main__":

@@ -591,9 +591,14 @@ def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,
                 break
             if num_sampling_steps % d == 0:
                 mods_chunks = d
+        # bf16 elementwise glue on the quantized serving path: every matmul
+        # input is already quantized to 8 bits there, so bf16 rounding is
+        # noise next to the activation-quantization error, and it halves
+        # the VPU glue traffic of the MXU-bound 14B head
+        glue = jnp.bfloat16 if "w1_s" in stacked else jnp.float32
         out = em_sample_stacked(
             stacked, x0, noise, None, t_all, dt_all, cfg_arr,
-            c_emb=c_emb, mods_chunks=mods_chunks, **common)
+            c_emb=c_emb, mods_chunks=mods_chunks, glue_dtype=glue, **common)
     if head.attention:
         return out.reshape(g_all // 2, w, head.ch_target)
     return out

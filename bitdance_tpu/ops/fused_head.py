@@ -1268,24 +1268,33 @@ def _fused_em_sample_resident(
 
 def _block_body_xla(h, mods, attn_w, n2, w1, b1, w2, b2, *,
                     n_head: int, groups: int, eps: float,
-                    w1_s=None, w2_s=None):
+                    w1_s=None, w2_s=None, elem=jnp.float32):
     """XLA twin of _block_body with BATCHED attention (einsum over heads
     instead of the kernel's per-head slicing loop — outside Pallas the
-    per-head loop would emit 2*groups*n_head tiny HLO ops per block)."""
+    per-head loop would emit 2*groups*n_head tiny HLO ops per block).
+
+    `elem` is the ELEMENTWISE/activation dtype: LN statistics, softmax and
+    matmul accumulation stay f32, but the residual stream and the wide
+    intermediate tensors ([R, 2H] glu chain) are carried in `elem`. bf16
+    halves the VPU glue traffic; on the W8A8 path every matmul input is
+    quantized to 8 bits anyway, so bf16 rounding (2^-8 relative) is noise
+    next to the existing activation-quantization error."""
     c_dim = h.shape[-1]
+    mods = mods.astype(elem)
+    h = h.astype(elem)
 
     def moded(x, which, nrm):
         scale = mods[:, which * c_dim:(which + 1) * c_dim]
         shift = mods[:, (which + 1) * c_dim:(which + 2) * c_dim]
-        ln = _ln(x, eps) * nrm[0][None].astype(jnp.float32) \
-            + nrm[1][None].astype(jnp.float32)
+        ln = _ln(x, eps).astype(elem) * nrm[0][None].astype(elem) \
+            + nrm[1][None].astype(elem)
         return ln * (1.0 + scale) + shift
 
     if attn_w is not None:
         n1, wqkv, bqkv, wo, bo, wqkv_s, wo_s = attn_w
         hd = c_dim // n_head
         ha = moded(h, 0, n1)
-        qkv = _mmq(ha, wqkv, wqkv_s) + bqkv[None]            # [R, 3C]
+        qkv = _mmq(ha, wqkv, wqkv_s) + bqkv[None]            # [R, 3C] f32
         w = h.shape[0] // groups
         qkv = qkv.reshape(groups, w, 3, n_head, hd)
         q = qkv[:, :, 0] * (hd ** -0.5)
@@ -1295,7 +1304,7 @@ def _block_body_xla(h, mods, attn_w, n2, w1, b1, w2, b2, *,
         p = jax.nn.softmax(s, axis=-1)
         attn_out = jnp.einsum("ghqk,gkhd->gqhd", p, v).reshape(
             groups * w, c_dim)
-        proj = _mmq(attn_out, wo, wo_s) + bo[None]
+        proj = (_mmq(attn_out, wo, wo_s) + bo[None]).astype(elem)
         gate1 = mods[:, 2 * c_dim:3 * c_dim]
         h = h + proj * gate1
         mlp_base = 3
@@ -1303,10 +1312,10 @@ def _block_body_xla(h, mods, attn_w, n2, w1, b1, w2, b2, *,
         mlp_base = 0
 
     hm = moded(h, mlp_base, n2)
-    h12 = _mmq(hm, w1, w1_s) + b1[None]
+    h12 = (_mmq(hm, w1, w1_s) + b1[None]).astype(elem)
     hidden = h12.shape[-1] // 2
     glu = jax.nn.silu(h12[:, :hidden]) * h12[:, hidden:]
-    mlp_out = _mmq(glu, w2, w2_s) + b2[None]
+    mlp_out = (_mmq(glu, w2, w2_s) + b2[None]).astype(elem)
     gate2 = mods[:, (mlp_base + 2) * c_dim:(mlp_base + 3) * c_dim]
     return h + mlp_out * gate2
 
@@ -1329,6 +1338,7 @@ def em_sample_stacked(
     last_step_size: float = 0.05,
     c_emb: jax.Array | None = None,
     mods_chunks: int = 1,
+    glue_dtype=jnp.float32,
 ) -> jax.Array:
     """XLA twin of fused_em_sample for widths whose per-block weights exceed
     VMEM (fused_net_available False — e.g. the 5120-wide 14B head, whose w1
@@ -1366,16 +1376,24 @@ def em_sample_stacked(
         if quant:
             xs["wqkv_s"], xs["wo_s"] = stacked["wqkv_s"], stacked["wo_s"]
 
+    # NOTE(measured, r3): splitting this scan into per-ada-group scans over
+    # statically-sliced weights looks like it should remove the per-block
+    # dynamic_slice of mods_row, but XLA does NOT hoist the loop-invariant
+    # weight slices out of the step scan — it re-copies all ~1.33GB of
+    # block weights every net call and the sampler DOUBLES in time
+    # (3.41 -> 8.0 ms/net-call at the 14B geometry). The dynamic_slice
+    # itself only reads the required [R, n_mods*C] (~0.12 ms); keep it.
     def net_forward(x, mods_row):
         combined = jnp.concatenate([x, x], axis=0)           # CFG rows
         h = _dot(combined.astype(stacked["in_w"].dtype), stacked["in_w"]) \
             + stacked["in_b"][None]
 
+        h = h.astype(glue_dtype)
+
         def block(h, bw):
             g = bw["idx"] // switch_freq
             mods = jax.lax.dynamic_slice_in_dim(
-                mods_row, g * n_mods * c_dim, n_mods * c_dim, axis=1
-            ).astype(jnp.float32)
+                mods_row, g * n_mods * c_dim, n_mods * c_dim, axis=1)
             attn_w = None
             if attention:
                 attn_w = (bw["n1"], bw["wqkv"], bw["bqkv"][0], bw["wo"],
@@ -1387,7 +1405,7 @@ def em_sample_stacked(
                 bw["w2"], bw["b2"][0], n_head=n_head, groups=groups,
                 eps=1e-6,
                 w1_s=bw["w1_s"] if quant else None,
-                w2_s=bw["w2_s"] if quant else None)
+                w2_s=bw["w2_s"] if quant else None, elem=glue_dtype)
             return h, None
 
         h, _ = jax.lax.scan(block, h, xs)
@@ -1420,11 +1438,17 @@ def em_sample_stacked(
             allmods = em_precompute(stacked, c_emb, t_all,
                                     out_dtype=mods_dtype)
 
-        def step(x, s):
-            return em_step(x, allmods[s], t_all[s], dt_all[s], noise[s]), None
+        def step(x, xs_i):
+            am, t, dt, nz = xs_i
+            return em_step(x, am, t, dt, nz), None
 
-        x, _ = jax.lax.scan(step, x0.astype(jnp.float32),
-                            jnp.arange(num_steps, dtype=jnp.int32))
+        # mods/t/dt/noise ride the scan as xs (not gathered by a traced
+        # step index) so XLA prefetches the next step's [R, W] mods slice
+        # during the current step's matmuls
+        x, _ = jax.lax.scan(
+            step, x0.astype(jnp.float32),
+            (allmods[:num_steps], t_all[:num_steps], dt_all[:num_steps],
+             noise))
         final_mods = allmods[num_steps]
     else:
         assert c_emb is not None and num_steps % mods_chunks == 0, \

@@ -402,7 +402,13 @@ class T2IPipeline:
 
             def fn(ae_params, tokens):
                 b = dataclasses.replace(base, ae_params=ae_params)
-                return decode_image(b, tokens, latent_h, latent_w)
+                img = decode_image(b, tokens, latent_h, latent_w)
+                # clip + uint8 ON DEVICE: the host readback then moves 3
+                # bytes/pixel instead of 12 (t2i_pipeline.py:142-155 does
+                # the same on the host; on TPU the readback is the cost)
+                return jnp.clip(
+                    127.5 * img.astype(jnp.float32) + 128.0, 0, 255
+                ).astype(jnp.uint8)
 
             self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
@@ -502,9 +508,7 @@ class T2IPipeline:
         dec = self._decode_compiled(latent_h, latent_w)
         imgs = []
         for i in range(tokens.shape[0]):
-            img = dec(b.ae_params, tokens[i: i + 1])
-            imgs.append(np.asarray(
-                jnp.clip(127.5 * img.astype(jnp.float32) + 128.0, 0, 255)))
+            imgs.append(np.asarray(dec(b.ae_params, tokens[i: i + 1])))
         if self.phase_timing:
             self.last_timing["vae"] = _time.perf_counter() - t0
-        return np.concatenate(imgs, axis=0).astype(np.uint8)
+        return np.concatenate(imgs, axis=0)

@@ -272,6 +272,36 @@ def test_em_stacked_xla_int8_close_to_fp():
     assert err > 0, "quantization had no effect (suspicious)"
 
 
+def test_em_stacked_bf16_glue_close_to_f32():
+    """glue_dtype=bf16 (the quantized 14B serving default set in
+    diff_head._run_fused_sample) stays close to the f32-glue sampler: on
+    the W8A8 path every matmul input is quantized to 8 bits, so bf16
+    elementwise rounding must be subdominant to the int8 drift bound
+    asserted above."""
+    from bitdance_tpu.ops.fused_head import em_precompute, em_sample_stacked
+
+    net, params = _net_and_params(True)
+    steps = 4
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(
+        net, params, True, steps)
+    x0f = x0.reshape(-1, 8)
+    noise = jnp.zeros((steps,) + x0f.shape, jnp.float32)
+
+    stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32,
+                                   quant=True)
+    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+    kw = dict(num_blocks=4, num_ada=2, n_head=2, groups=groups,
+              attention=True, bounded=True)
+    outs = {}
+    for glue in (jnp.float32, jnp.bfloat16):
+        outs[glue] = np.asarray(em_sample_stacked(
+            stacked, x0f, noise, allmods, t_all, dt_all, jnp.float32(2.0),
+            glue_dtype=glue, **kw))
+    err = np.max(np.abs(outs[jnp.bfloat16] - outs[jnp.float32]))
+    assert err < 0.08, f"bf16 glue drift too large: {err}"
+    assert np.all(np.isfinite(outs[jnp.bfloat16]))
+
+
 def test_em_stacked_chunked_mods_matches_unchunked():
     """mods_chunks > 1 (in-scan chunked precompute) == one-shot allmods."""
     from bitdance_tpu.ops.fused_head import em_precompute, em_sample_stacked
