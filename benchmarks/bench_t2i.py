@@ -290,6 +290,13 @@ scales linearly in depth, the head does not depend on depth; a 40L
 estimate is t(N) + (40-N) * per_layer_decode_time — and the 28L int8
 measurement (11.25 s/image vs 14L's 10.8-est) shows per-layer decode is
 small next to the head.
+Batch sizing: 2 images is the measured 28L int8 champion. 4 images
+runtime-OOMs even with 96MB mods chunks (measured r3 — the int8 KV cache
+doubles to ~1.9GB on top of ~11GB weights); it would only amortize the
+head's BANDWIDTH half anyway — the head is ~equally MXU-bound (687
+GFLOP/net-call ~ 1.74 ms at int8 peak vs 1.63 ms weight BW), so the
+ceiling from batching is ~-25% on the dots, not ~-50%. 3 images measured
+WORSE (7.94 vs 7.35, r3).
 """
 
 
