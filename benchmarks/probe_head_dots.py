@@ -38,12 +38,29 @@ Full decomposition of the real sampler's 3.92 ms/net-call
                                  in/f_out projections)
   0.51 em_precompute            (modcat matmul + 1.9GB allmods buffer
                                  write+read)
-r4 plan, by size: (1) make mods indexing gather-free (nested scan over
-ada groups, or mods as scan xs) and shrink the EM glue — up to 0.8 ms;
-(2) fuse the mods precompute into the scan or overlap it — up to 0.5 ms;
-(3) squeeze the dots toward the 1.8 floor — 0.3 ms. Ceiling ~2.3
-ms/net-call => ~40% head speedup => flagship ~7.35 -> ~5.5 s/image
-(head = ~85% of decode, decode = ~88% of wall).
+r3 experiment record (do NOT redo):
+  - per-ada-group scans over statically sliced weights: 3.41 -> 8.0
+    ms/net-call REGRESSION — XLA does not hoist the loop-invariant weight
+    slices out of the step scan and recopies ~1.33GB per net call.
+  - allmods/t/dt/noise as step-scan xs instead of traced-index gathers:
+    neutral (3.395 vs 3.409). Kept (cleaner prefetch semantics).
+  - bf16 elementwise glue (glue_dtype): 3.52 -> 3.45, ~2%. Kept (also
+    halves activation residency); flagship 7.35 -> 7.32 from this.
+  - block+mods probe: the mods dynamic-slice machinery is FREE (2.72 vs
+    2.92 full-block, within run noise). The remaining ~0.6 ms/net-call
+    above the block bodies is inter-call glue/pipeline-refill, not data
+    movement.
+  - em_precompute (0.51 ms) is INHERENT model FLOPs (188 GFLOP modcat
+    matmul per net call, already at int8 peak) — not optimizable.
+  - scan unroll>1 on the block scan: regression (4.25/7.40 vs 3.92).
+  - 4-image batch: runtime-OOM even with 96MB mods chunks; 3-image
+    measured WORSE end-to-end (7.94 vs 7.35). The head is ~equally
+    MXU-bound, so batching caps at ~-25% on the dots anyway.
+Remaining levers, by ceiling: (1) fix the streamed Pallas kernel's tile
+pipeline (measured 10.35 vs its ~2.2 traffic model — ~54us/tile vs ~10us;
+each compile is ~134s through the tunnel, budget accordingly); (2) accept
+~3.9 ms/net-call as the XLA ceiling — the floor is 1.74 MXU + 0.48
+modcat + ~0.5 serial VPU glue ~= 2.8 ms.
 """
 import sys
 import time
