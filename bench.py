@@ -155,10 +155,13 @@ def main():
     t2i_cfgs = {}
     t2i_attr = {}
     if not (args.quick or args.skip_t2i):
-        t2i, _, t2i_attr["t2i_1024px"] = run_t2i_ladder(
-            [("bf16", [], {}),
+        # int8 serving config leads (measured 1.16 vs 1.35 s/image bf16);
+        # bf16 one-program is the escalation fallback
+        t2i, t2i_cfgs["t2i_1024px"], t2i_attr["t2i_1024px"] = run_t2i_ladder(
+            [("int8", ["--quant-llm", "--quant-head", "--kv-int8"], {}),
+             ("bf16", [], {}),
              ("bf16+one-program", [], {"BITDANCE_ONE_PROGRAM": "1"})],
-            timeout_s=600)
+            timeout_s=900)
         # int8 W8A8 serving config: TRUE 14B width at 28/40 layers, the
         # single-chip maximum (bf16 stops at 13L); also the fastest.
         # Cold-cache compile is ~680s; warm (persistent compile cache) ~110s.
@@ -373,7 +376,9 @@ def main():
         result["t2i_1024px_s_per_image"] = t2i
         result["t2i_1024px_vs_baseline"] = vs_prior(
             "t2i_1024px_s_per_image", t2i)
-        result["t2i_config"] = "0.7B-class LLM (16L/1024d), bf16"
+        result["t2i_config"] = (
+            "0.7B-class LLM (16L/1024d) "
+            f"[{t2i_cfgs.get('t2i_1024px')}]")
         # true 14B WIDTH (5120d LLM + 5120-wide head, 152k vocab); 28/40
         # layers is the single-chip int8 maximum (bf16 stops at 13L) —
         # see benchmarks/bench_t2i.py MEMORY_PLAN

@@ -242,6 +242,12 @@ def main():
     timing = {}
     if _os.environ.get("BITDANCE_PHASE_TIMING", "1") != "0":
         pipe.phase_timing = True
+        # first phase-timed call compiles the inter-phase fence programs —
+        # its phase split is inflated by those compiles (measured: 1.5s
+        # "prefill" on a model whose prefill compute is ~10ms). Warm once,
+        # report the second call.
+        pipe.generate("attribution warmup", args.height, width, args.steps,
+                      args.cfg, args.images, seed=98)
         t0 = time.time()
         pipe.generate("attribution prompt", args.height, width, args.steps,
                       args.cfg, args.images, seed=99)

@@ -282,6 +282,12 @@ class T2IPipeline:
         self.last_timing: dict = {}
         self.pos_table = build_pos_table(bundle)
         self._jitted = {}
+        # per-geometry device constants (pos-embed, image-start ids): the
+        # eager pos_embed_2d chain is ~6 device dispatches per generate()
+        # call, and each dispatch over a remote-tunnel backend costs
+        # 20-90ms — measured 1.46s in the "prefill" phase of a 14B
+        # 2-image generate, most of it host-side dispatch, not prefill
+        self._geom_cache = {}
 
     def _fns(self, P, latent_h, latent_w, n, steps):
         """Un-jitted (fn_pre, fn_dec, fn_onep) closures for one geometry."""
@@ -435,8 +441,16 @@ class T2IPipeline:
         cond_text, uncond_text = chatml_prompts(prompt)
         cond_ids = self.tokenizer.encode(cond_text)
         uncond_ids = self.tokenizer.encode(uncond_text)
-        start_ids = image_start_ids(self.tokenizer, latent_h, latent_w,
-                                    b.parallel_num)
+        geom = self._geom_cache.get((latent_h, latent_w))
+        if geom is None:
+            start_arr = jnp.asarray(
+                image_start_ids(self.tokenizer, latent_h, latent_w,
+                                b.parallel_num), jnp.int32)
+            pe = jax.jit(pos_embed_2d, static_argnums=(1, 2, 3))(
+                self.pos_table, latent_h, latent_w, b.ps)
+            geom = (start_arr, pe)
+            self._geom_cache[(latent_h, latent_w)] = geom
+        start_arr, pe = geom
 
         P = next(pb for pb in self.PROMPT_BUCKETS if pb >= len(cond_ids))
         rows, pads = [], []
@@ -445,12 +459,10 @@ class T2IPipeline:
             rows.append([0] * pad + list(ids))
             pads.append(pad)
 
-        pe = pos_embed_2d(self.pos_table, latent_h, latent_w, ps=b.ps)
         key = (P, latent_h, latent_w, num_images, num_sampling_steps)
         params3 = self._params3()
         pads_arr = jnp.asarray(pads, jnp.int32)
         rows_arr = jnp.asarray(rows, jnp.int32)
-        start_arr = jnp.asarray(start_ids, jnp.int32)
         cfg_arr = jnp.float32(guidance_scale)
         rng = jax.random.PRNGKey(seed)
 
