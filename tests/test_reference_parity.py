@@ -43,6 +43,12 @@ def _install_ref_imports():
             return o.transpose(1, 2)
 
         mod.flash_attn_func = flash_attn_func
+        # a real ModuleSpec so transformers' is_flash_attn_2_available()
+        # (importlib.util.find_spec) doesn't choke on the stub
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec("flash_attn", loader=None)
+        mod.__version__ = "0.0.0-stub"
         sys.modules["flash_attn"] = mod
 
 
@@ -122,7 +128,7 @@ def test_tokenizer_decode_parity():
 # DiffHead net (modeling/vision_head/flow_head_parallel_x.py:32)
 # ---------------------------------------------------------------------------
 
-def _heads(parallel_num=4):
+def _heads(parallel_num=4, ch_cond=16):
     _install_ref_imports()
     from modeling.vision_head import flow_head_parallel_x as ref_fh
 
@@ -131,7 +137,7 @@ def _heads(parallel_num=4):
 
     # ch_latent=128: the reference hardcodes attention head_dim 128
     # (flow_head_parallel_x.py:227)
-    kw = dict(ch_target=8, ch_cond=16, ch_latent=128, depth_latent=2,
+    kw = dict(ch_target=8, ch_cond=ch_cond, ch_latent=128, depth_latent=2,
               depth_adanln=2, parallel_num=parallel_num, use_swiglu=True)
     ref = ref_fh.DiffHead(**kw)
     _randomize_(ref, seed=3)
@@ -313,6 +319,221 @@ def test_recon_harness_jax_matches_torch():
     assert abs(rep.psnr_delta) < 0.05, rep.as_dict()
     assert abs(rep.ssim_jax - rep.ssim_torch) < 1e-3, rep.as_dict()
     assert rep.within_north_star
+
+
+# ---------------------------------------------------------------------------
+# WHOLE-PIPELINE T2I parity (modeling/t2i_pipeline.py:157-272 gen_image)
+# ---------------------------------------------------------------------------
+#
+# Runs the ACTUAL reference orchestration — BitDanceT2IPipeline.gen_image with
+# its two-phase prefill, per-step CFG'd EM sampling, sign/LFQ, projector
+# feedback, and ps-raster image decode — against our generate_tokens +
+# decode_image on shared tiny weights. This is the only test that can catch a
+# convention flip that is self-consistent on both sides (pos-embed added to
+# BOTH head conditioning and next-step embeds t2i_pipeline.py:245+253,
+# cond-first CFG rows sampling_x.py:16-20, the pass-1/pass-2 prefill boundary
+# at res_w t2i_pipeline.py:199-218, the ps-raster decode ordering).
+#
+# Determinism: every gaussian draw on both sides is replaced by a
+# shape-keyed deterministic table (same shapes -> same values), so the whole
+# generation is a pure function and token grids must match EXACTLY.
+
+def _shaped_noise(shape):
+    # base seed 5: chosen so every torch.sign() input in the tiny pipeline
+    # run has |x| > 1e-3 (the margin guard below) — solid vs fp32 noise
+    seed = 5
+    for d in shape:
+        seed = (seed * 131 + int(d) + 7) % (2**31 - 1)
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+def _patch_all_noise(monkeypatch):
+    import torch as _t
+
+    def fake_randn(*args, **kw):
+        if len(args) == 1 and isinstance(args[0], (list, tuple, _t.Size)):
+            shape = tuple(args[0])
+        else:
+            shape = tuple(args)
+        return _t.from_numpy(_shaped_noise(shape))
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda x, **kw: fake_randn(*x.shape))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32:
+            jnp.asarray(_shaped_noise(tuple(shape)), dtype))
+
+
+class _StubTokenizer:
+    """Deterministic tokenizer stub shared by both pipelines."""
+
+    ENCODE = {
+        "<|im_start|>user\nA cat<|im_end|>\n<|im_start|>assistant\n":
+            [3, 4, 5, 6, 7],
+        "<|im_start|>assistant\n": [3, 9],
+    }
+    SPECIAL = {"<|vision_start|>": 20, "<|res_4|>": 21,
+               "<|query_1|>": 31, "<|query_2|>": 32, "<|query_3|>": 33}
+
+    def encode(self, text):
+        return list(self.ENCODE[text])
+
+    def convert_tokens_to_ids(self, tok):
+        return self.SPECIAL[tok]
+
+
+def _tiny_llm_pair():
+    """(HF Qwen3ForCausalLM, our Qwen3Config, transplanted params)."""
+    from transformers import Qwen3Config as HFConfig
+    from transformers import Qwen3ForCausalLM
+
+    from bitdance_tpu.io.torch_import import convert_qwen3_state
+    from bitdance_tpu.models.qwen3 import Qwen3Config
+
+    hf_cfg = HFConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_dropout=0.0)
+    torch.manual_seed(7)
+    hf = Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = Qwen3Config(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rope_theta=10000.0)
+    params = convert_qwen3_state(hf.state_dict(), 2, dtype=jnp.float32)
+    return hf, cfg, params
+
+
+def _ref_projector():
+    _install_ref_imports()
+    from modeling.utils import MLPconnector as RefConnector
+
+    proj = RefConnector(8, 64, "gelu_pytorch_tanh")
+    _randomize_(proj, seed=11)
+    proj.eval()
+    return proj
+
+
+def test_whole_t2i_pipeline_parity(monkeypatch):
+    _install_ref_imports()
+    from modeling import t2i_pipeline as ref_pipe_mod
+
+    from bitdance_tpu.io.torch_import import (
+        convert_ae_state,
+        convert_diffhead_state,
+        convert_projector_state,
+    )
+    from bitdance_tpu.models.connector import MLPConnector
+    from bitdance_tpu.models.tokenizer import VQModel
+    from bitdance_tpu.pipelines import t2i as my_t2i
+
+    # --- shared tiny weights -------------------------------------------------
+    hf, llm_cfg, llm_params = _tiny_llm_pair()
+    ref_ae = _ref_vq()
+    ref_head, my_head, head_params = _heads(parallel_num=4, ch_cond=64)
+    ref_proj = _ref_projector()
+
+    # --- reference pipeline object (skip the ctor's checkpoint loading) -----
+    pipe = ref_pipe_mod.BitDanceT2IPipeline.__new__(
+        ref_pipe_mod.BitDanceT2IPipeline)
+    pipe.device = "cpu"
+    pipe.tokenizer = _StubTokenizer()
+    pipe.llm_model = hf
+    pipe.hidden_size = 64
+    pipe.ae = ref_ae
+    pipe.vae_patch_size = 2
+    pipe.vision_head = ref_head
+    pipe.parallel_num = 4
+    pipe.ps = 2
+    pipe.embed_vision_mlp = ref_proj
+    pipe.build_pos_embed(max_len=64)
+
+    # record |pred| at the sign() boundary so exact-match is meaningful
+    sign_margins = []
+    real_sign = torch.sign
+
+    def spy_sign(x):
+        sign_margins.append(float(x.abs().min()))
+        return real_sign(x)
+
+    monkeypatch.setattr(torch, "sign", spy_sign)
+    _patch_all_noise(monkeypatch)
+
+    cond_text = "<|im_start|>user\nA cat<|im_end|>\n<|im_start|>assistant\n"
+    uncond_text = "<|im_start|>assistant\n"
+    with torch.no_grad():
+        want_img = pipe.gen_image(
+            cond_prompt=cond_text, uncond_prompt=uncond_text,
+            guidance_scale=2.0, num_sampling_steps=4, max_length=16,
+            num_images=1, image_size=[8, 8]).numpy()
+    assert min(sign_margins) > 1e-3, (
+        f"borderline sign margin {min(sign_margins)}: pick another seed")
+
+    # reference keeps no token output; recover it from the decode input by
+    # re-running decode_image's inverse? no — capture via ae.decode input
+    tok_holder = {}
+    real_decode = ref_ae.decode
+
+    def spy_decode(z):
+        tok_holder["z"] = z.detach().clone()
+        return real_decode(z)
+
+    monkeypatch.setattr(ref_ae, "decode", spy_decode)
+    with torch.no_grad():
+        pipe.gen_image(
+            cond_prompt=cond_text, uncond_prompt=uncond_text,
+            guidance_scale=2.0, num_sampling_steps=4, max_length=16,
+            num_images=1, image_size=[8, 8])
+    want_lat = tok_holder["z"].numpy()  # [1, 8, 4, 4] ±1 spatial latents
+
+    # --- our pipeline on the same weights ------------------------------------
+    ae_params = convert_ae_state(_np_state(ref_ae))
+    proj_params = convert_projector_state(_np_state(ref_proj))
+    bundle = my_t2i.T2IModelBundle(
+        llm_cfg=llm_cfg, llm_params=llm_params,
+        ae=VQModel(ddconfig=TINY_DD), ae_params=ae_params,
+        head=my_head, head_params=head_params,
+        projector=MLPConnector(out_dim=64), projector_params=proj_params,
+        parallel_num=4, hidden_size=64, vae_patch_size=2, pe_max_len=64)
+
+    from bitdance_tpu.ops.rotary import pos_embed_2d
+
+    pos_table = my_t2i.build_pos_table(bundle)
+    pe = pos_embed_2d(pos_table, 4, 4, 2)
+
+    tok = _StubTokenizer()
+    cond_ids = tok.encode(cond_text)
+    uncond_ids = tok.encode(uncond_text)
+    P = len(cond_ids)
+    rows = [cond_ids, [0] * (P - len(uncond_ids)) + uncond_ids]
+    pads = [0, P - len(uncond_ids)]
+    from bitdance_tpu.data.special_tokens import image_start_ids
+
+    start_ids = jnp.asarray(image_start_ids(tok, 4, 4, 4), jnp.int32)
+
+    got_tokens = np.asarray(my_t2i.generate_tokens(
+        bundle, jnp.asarray(rows, jnp.int32), jnp.asarray(pads, jnp.int32),
+        start_ids, pe, jax.random.PRNGKey(0),
+        latent_h=4, latent_w=4, num_images=1, guidance_scale=2.0,
+        num_sampling_steps=4))  # [1, 16, 8] ps-raster order
+
+    # token-grid parity: EXACT (same weights, same injected noise)
+    from bitdance_tpu.models.tokenizer import tokens_to_latents
+
+    got_lat = np.asarray(tokens_to_latents(
+        jnp.asarray(got_tokens), 4, 4, ps=2))        # [1, 4, 4, 8] NHWC
+    np.testing.assert_array_equal(
+        got_lat, want_lat.transpose(0, 2, 3, 1),
+        err_msg="±1 token grids diverge from the reference pipeline")
+
+    # decoded-image parity through our ae decode path
+    got_img = np.asarray(my_t2i.decode_image(bundle, jnp.asarray(got_tokens),
+                                             4, 4))  # [1, 8, 8, 3]
+    np.testing.assert_allclose(
+        got_img, want_img.transpose(0, 2, 3, 1), rtol=1e-3, atol=2e-3)
 
 
 def test_recon_metrics_sanity():
