@@ -536,6 +536,164 @@ def test_whole_t2i_pipeline_parity(monkeypatch):
         got_img, want_img.transpose(0, 2, 3, 1), rtol=1e-3, atol=2e-3)
 
 
+# ---------------------------------------------------------------------------
+# WHOLE-PIPELINE MLLM training parity (modeling/mllm.py:163-255 forward_train)
+# ---------------------------------------------------------------------------
+#
+# Runs the ACTUAL reference MLLModel.forward_train — index_copy sequence
+# assembly, encode_image (vt_forward + projector + per-image 2D pos-embed),
+# create_sparse_mask ((causal | parallel-block) & doc) attention, text CE and
+# per-token vision flow-matching losses — against our packer +
+# mllm_forward_train on transplanted weights. Two packed samples exercise
+# document isolation. flex-attention's create_block_mask is replaced by a
+# dense float-mask materializer that still evaluates the REFERENCE's
+# create_sparse_mask mask_mod (utils.py:22-62); attention math is exact.
+
+class _AttrDict(dict):
+    """dict with attribute access (stands in for OmegaConf DictConfig)."""
+
+    __getattr__ = dict.__getitem__
+
+
+def test_whole_mllm_forward_train_parity(monkeypatch):
+    _install_ref_imports()
+    from modeling import mllm as ref_mllm_mod
+
+    from bitdance_tpu.data.packing import T2ISample, pack_t2i_batch
+    from bitdance_tpu.io.torch_import import (
+        convert_ae_state,
+        convert_diffhead_state,
+        convert_projector_state,
+    )
+    from bitdance_tpu.models import mllm as my_mllm
+    from bitdance_tpu.ops.rotary import sincos_1d_table
+
+    # --- shared tiny weights -------------------------------------------------
+    hf, llm_cfg, llm_params = _tiny_llm_pair()
+    ref_ae = _ref_vq()
+    ref_head, _, head_params = _heads(parallel_num=4, ch_cond=64)
+    ref_proj = _ref_projector()
+
+    # --- reference MLLModel (skip the ctor's checkpoint downloads) ----------
+    m = ref_mllm_mod.MLLModel.__new__(ref_mllm_mod.MLLModel)
+    torch.nn.Module.__init__(m)
+    m.config = types.SimpleNamespace(
+        encoder=_AttrDict(vt_forward_func="group", max_bs=32),
+        vit_patch_size=2)
+    m.llm_config = hf.config
+    m.hidden_size = 64
+    m.vision_encoder = ref_ae
+    m.embed_vision_mlp = ref_proj
+    m.vision_diffusion_head = ref_head
+    m.vision_head_type = "diffusion_parallel_x"
+    m.parallel_num = 4
+    m.ps = 2
+    m.head_config = types.SimpleNamespace(
+        vision_pred={"diff_batch_mul": 1}, get=lambda k, d=None: {
+            "vision_perturb": 0.0}.get(k, d))
+    m.pos_embed_1d = m._get_1d_sincos_pos_embed(32, 32)  # pe_max_len 64 / 2
+
+    class _ModelShim:
+        """Accepts the wrapper-only sample_lens kwarg and forwards to HF."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __call__(self, inputs_embeds, position_ids=None, sample_lens=None,
+                     attention_mask=None, **kw):
+            return self._inner(inputs_embeds=inputs_embeds,
+                               position_ids=position_ids,
+                               attention_mask=attention_mask)
+
+        def __getattr__(self, k):
+            return getattr(self._inner, k)
+
+    m.llm_model = types.SimpleNamespace(model=_ModelShim(hf.model),
+                                        lm_head=hf.lm_head)
+
+    def dense_block_mask(mask_mod, B, H, Q_LEN, KV_LEN, device=None,
+                         BLOCK_SIZE=128, _compile=False):
+        q = torch.arange(Q_LEN)[:, None]
+        kv = torch.arange(KV_LEN)[None, :]
+        allow = mask_mod(torch.tensor(0), torch.tensor(0), q, kv)
+        return torch.where(allow, 0.0, -torch.inf)[None, None].float()
+
+    monkeypatch.setattr(ref_mllm_mod, "create_block_mask", dense_block_mask)
+    _patch_all_noise(monkeypatch)
+
+    # --- two T2I samples (8x8 px -> 4x4 latents, parallel_num 4) ------------
+    rng = np.random.default_rng(21)
+    imgs = [torch.from_numpy(
+        np.clip(rng.normal(scale=0.5, size=(1, 3, 8, 8)), -1, 1)
+        .astype(np.float32)) for _ in range(2)]
+    with torch.no_grad():
+        lat0 = ref_ae.vt_forward([imgs[0]], ps=2).numpy()   # [16, 8]
+        lat1 = ref_ae.vt_forward([imgs[1]], ps=2).numpy()
+
+    text0, text1 = [3, 4, 5, 6, 7], [3, 8, 9]
+    samples = [
+        T2ISample(text_ids=np.asarray(text0), image_latents=lat0,
+                  latent_h=4, latent_w=4, vision_start_id=20, res_h_id=21,
+                  res_w_id=21, query_ids=np.asarray([31, 32, 33]),
+                  text_loss=True),
+        T2ISample(text_ids=np.asarray(text1), image_latents=lat1,
+                  latent_h=4, latent_w=4, vision_start_id=20, res_h_id=21,
+                  res_w_id=21, query_ids=np.asarray([31, 32, 33]),
+                  text_loss=True),
+    ]
+    total = sum(len(s.text_ids) + 6 + 16 for s in samples)   # 27 + 25 = 52
+    n_text_total = sum(len(s.text_ids) + 6 for s in samples)
+    n_ce = sum(len(s.text_ids) - 1 for s in samples)
+    table = np.asarray(sincos_1d_table(32, 32))
+    raw = pack_t2i_batch(samples, parallel_num=4, seq_budget=total + 1,
+                         pos_embed_table=table, text_budget=n_text_total,
+                         vis_budget=32)
+
+    # --- reference forward_train on the translated batch ---------------------
+    lt = lambda a: torch.from_numpy(np.asarray(a, np.int64))
+    with torch.no_grad():
+        ref_out = m.forward_train(
+            vit_image_tensors=imgs,
+            vit_token_indexes_for_encoder=None,
+            packed_vit_rope_coords=None,
+            vit_token_seqlens=None,
+            vit_latent_shapes=[(4, 4), (4, 4)],
+            gen_vit_latent_shapes=[(4, 4), (4, 4)],
+            sequence_length=total,
+            sample_lens=torch.tensor([27, 25]),
+            packed_position_ids=lt(raw["position_ids"][:total]),
+            packed_vit_token_indexes=lt(raw["vit_token_indexes"]),
+            packed_text_ids=lt(raw["packed_text_ids"]),
+            packed_text_indexes=lt(raw["packed_text_indexes"]),
+            # our packer pads CE arrays to text_budget with trash-slot
+            # indexes; the reference takes exact-length index lists
+            ce_loss_indexes_text=lt(raw["ce_text_indexes"][:n_ce]),
+            packed_label_ids=lt(raw["ce_text_labels"][:n_ce]),
+            ce_loss_indexes_vision=lt(raw["vision_loss_indexes"]),
+            packed_label_indexes_vision=lt(raw["vision_label_indexes"]),
+            split_lens=[len(text0), 22, len(text1), 22],
+            attn_modes=["causal", "parallel", "causal", "parallel"],
+        )
+    want_text = float(ref_out["ce_loss_text"].mean())
+    want_vision = float(ref_out["ce_loss_vision"].mean())
+
+    # --- ours on the packer's native output ----------------------------------
+    cfg = my_mllm.MLLMConfig(
+        llm=llm_cfg, z_channels=8, vit_patch_size=2, parallel_num=4,
+        head_model_dim=128, head_num_blocks=2, head_num_adaln=2,
+        head_use_swiglu=True, grad_checkpointing=False, P_mean=0.0,
+        P_std=1.0, vision_perturb=0.0, pe_max_len=64)
+    params = {"llm": llm_params,
+              "projector": convert_projector_state(_np_state(ref_proj)),
+              "head": convert_diffhead_state(_np_state(ref_head))}
+    batch = my_mllm.PackedBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+    got = my_mllm.mllm_forward_train(params, cfg, batch,
+                                     jax.random.PRNGKey(0), train=True)
+
+    assert float(got["ce_loss_text"]) == pytest.approx(want_text, rel=1e-4)
+    assert float(got["ce_loss_vision"]) == pytest.approx(want_vision, rel=1e-4)
+
+
 def test_recon_metrics_sanity():
     """PSNR/SSIM match closed-form expectations on synthetic data."""
     from bitdance_tpu.eval.recon import psnr, ssim
