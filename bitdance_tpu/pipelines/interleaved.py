@@ -7,8 +7,33 @@ Text spans sample token-by-token through the lm_head (temperature +
 top-k/top-p, utils.py:93-124); image spans run the next-patch diffusion
 decode (query tokens, block-bidirectional windows, CFG pair of caches).
 
-Host drives the item loop; each span runs as jitted device steps. The CFG
-(cond/uncond) streams are batched into one forward like pipelines/t2i.py.
+Reference conventions mirrored exactly (mllm.py:504-897):
+  - TWO independent KV streams (cond / uncond), like the reference's
+    past_key_values / past_key_values_un pair. The uncond stream drops the
+    first user block from user text (utils.py:206-216
+    remove_first_user_block) so image CFG contrasts with a promptless
+    context; user images and image-span scaffolding go to both streams.
+  - Generated TEXT spans sample from the hidden state of the LAST context
+    token — no im_start is injected (the reference's start_embed append
+    happens only in the image branch, mllm.py:563-569; chat scaffolding is
+    expected to arrive in the user text itself).
+  - Generated IMAGE spans prefill [start_of_image, res_h, res_w] plus
+    query_1..query_{p-1}; everything except the last parallel_num tokens is
+    causal, the final window is block-bidirectional (mllm.py:763-795).
+    pos_embed is added BOTH to the head conditioning and to the next-step
+    input embeds (mllm.py:628-637,805-812).
+
+Deliberate deviations from the reference (documented, not accidental):
+  - After a generated text span the reference re-feeds the stale uncond
+    context every step (mllm.py:604-612: curr_embeds_un is never updated in
+    the text branch), corrupting the uncond cache for any later image span.
+    We advance the uncond stream with the same sampled tokens instead.
+  - The reference never writes the final sampled image window into the
+    cache and leaves the image span's scaffold embeds in context_embed,
+    double-feeding them into the next model span (mllm.py:758-800). We keep
+    the full generated image in both caches exactly once.
+
+Host drives the item loop; each span runs as jitted device steps.
 """
 
 from __future__ import annotations
@@ -38,6 +63,28 @@ class PlanItem:
     image_size: tuple = (256, 256)    # generated image pixel size
 
 
+def remove_first_user_block(text: str) -> str:
+    """Drop the first <|im_start|>user ... <|im_end|>\\n block
+    (reference utils.py:206-216) — the uncond stream's view of user text."""
+    start_marker = "<|im_start|>user\n"
+    end_marker = "<|im_end|>\n"
+    i = text.find(start_marker)
+    if i == -1:
+        return text
+    j = text.find(end_marker, i + len(start_marker))
+    if j == -1:
+        return text
+    return text[:i] + text[j + len(end_marker):]
+
+
+@dataclasses.dataclass
+class _Stream:
+    """One KV stream (the reference's past_key_values[_un])."""
+
+    cache: dict
+    length: int = 0
+
+
 class InterleavedGenerator:
     """Any-to-any generation over a sequence plan."""
 
@@ -47,6 +94,10 @@ class InterleavedGenerator:
         self.tokenizer = tokenizer
         self.max_seq_len = max_seq_len
         self.pos_table = build_pos_table(bundle)
+
+    # -- span bookkeeping (exposed for tests) --------------------------------
+    # last_spans: list of (stream_name, item_index, kind, start, end) cache
+    # slot ranges recorded during the most recent generate() call.
 
     def generate(self, plan: list[PlanItem], *, cfg_scale: float = 7.5,
                  sample_steps: int = 50, max_length_text: int = 128,
@@ -58,45 +109,56 @@ class InterleavedGenerator:
         """
         from bitdance_tpu.data.special_tokens import (
             IM_END,
-            IM_START,
             VISION_END,
-            VISION_START,
             image_start_ids,
         )
 
         b = self.b
         cfg = b.llm_cfg
         use_cfg = cfg_scale > 1.0
-        rows = 2 if use_cfg else 1
         key = jax.random.PRNGKey(seed)
 
-        cache = q3.init_kv_cache(cfg, rows, self.max_seq_len)
-        cache_len = 0
-        kv_start = jnp.zeros((rows,), jnp.int32)
+        cond = _Stream(q3.init_kv_cache(cfg, 1, self.max_seq_len))
+        un = (_Stream(q3.init_kv_cache(cfg, 1, self.max_seq_len))
+              if use_cfg else None)
+        streams = [cond] + ([un] if use_cfg else [])
         out = {"generated_text": [], "generated_image": []}
+        self.last_spans = []
+        last_hidden = None  # [1, D] cond-stream hidden of the newest token
 
         def embed_ids(ids):
             e = q3.embed_tokens(b.llm_params, jnp.asarray(ids, jnp.int32))
-            return jnp.broadcast_to(e[None], (rows, len(ids), e.shape[-1]))
+            return e[None]  # [1, S, D]
 
-        def prefill(embeds, causal=True):
-            nonlocal cache, cache_len
+        def prefill(st: _Stream, embeds, causal=True):
+            """Advance ONE stream by embeds [1, S, D]; returns hidden."""
             s = embeds.shape[1]
-            pos = (cache_len + jnp.arange(s, dtype=jnp.int32))[None]
-            pos = jnp.broadcast_to(pos, (rows, s))
-            hidden, cache2 = q3.qwen3_forward_cached(
-                b.llm_params, cfg, embeds, pos, cache, jnp.int32(cache_len),
-                kv_start, causal_block=causal)
-            cache = cache2
-            cache_len += s
+            pos = (st.length + jnp.arange(s, dtype=jnp.int32))[None]
+            hidden, st.cache = q3.qwen3_forward_cached(
+                b.llm_params, cfg, embeds, pos, st.cache,
+                jnp.int32(st.length), jnp.zeros((1,), jnp.int32),
+                causal_block=causal)
+            st.length += s
             return hidden
 
-        for item in plan:
+        def record(item_idx, kind, lengths_before):
+            for name, st, before in zip(
+                    ["cond", "uncond"], streams, lengths_before):
+                self.last_spans.append(
+                    (name, item_idx, kind, before, st.length))
+
+        for item_idx, item in enumerate(plan):
+            before = [st.length for st in streams]
             if item.source == "user":
                 if item.type == "text":
-                    ids = self.tokenizer.encode(item.text)
-                    prefill(embed_ids(ids))
-                else:  # user image: encode + project + bracket with markers
+                    texts = [item.text]
+                    if use_cfg:
+                        texts.append(remove_first_user_block(item.text))
+                    for st, text in zip(streams, texts):
+                        h = prefill(st, embed_ids(self.tokenizer.encode(text)))
+                        if st is cond:
+                            last_hidden = h[:, -1]
+                else:  # user image: [start_of_image, res_h, res_w] + emb + end
                     img = jnp.asarray(item.image)[None]
                     quant = b.ae.apply(b.ae_params, img,
                                        method=type(b.ae).encode)
@@ -109,31 +171,49 @@ class InterleavedGenerator:
                     emb = b.projector.apply(b.projector_params, toks)
                     pe = pos_embed_2d(self.pos_table, h, w, ps=b.ps)
                     emb = emb + pe[None]
+                    # start ids use the image's OWN latent dims (the
+                    # reference reads the global image_size arg here,
+                    # mllm.py:728-732 — same value in its demos)
                     start = embed_ids(
-                        [self.tokenizer.convert_tokens_to_ids(VISION_START)])
+                        image_start_ids(self.tokenizer, h, w, 1)[:3])
                     end = embed_ids(
                         [self.tokenizer.convert_tokens_to_ids(VISION_END)])
-                    emb = jnp.broadcast_to(emb, (rows, *emb.shape[1:]))
-                    prefill(jnp.concatenate([start, emb, end], axis=1))
+                    block = jnp.concatenate(
+                        [start, emb.astype(start.dtype), end], axis=1)
+                    for st in streams:
+                        hh = prefill(st, block)
+                        if st is cond:
+                            last_hidden = hh[:, -1]
+                record(item_idx, f"user_{item.type}", before)
                 continue
 
             # ---- generated spans -------------------------------------------
             if item.type == "text":
-                start_id = self.tokenizer.convert_tokens_to_ids(IM_START)
+                assert last_hidden is not None, (
+                    "a generated text span needs preceding user context "
+                    "(the reference crashes on an empty context too, "
+                    "mllm.py:590)")
                 end_id = self.tokenizer.convert_tokens_to_ids(IM_END)
-                hidden = prefill(embed_ids([start_id]))
                 tokens = []
+                hidden_tok = last_hidden
                 for _ in range(max_length_text):
                     key, ks = jax.random.split(key)
-                    logits = q3.lm_logits(b.llm_params, cfg,
-                                          hidden[:1, -1])  # cond row only
+                    logits = q3.lm_logits(b.llm_params, cfg, hidden_tok)
                     tok = int(sample_tokens(ks, logits, temperature,
                                             top_k, top_p)[0])
                     if tok == end_id:
                         break
                     tokens.append(tok)
-                    hidden = prefill(embed_ids([tok]))
+                    # the sampled token advances BOTH streams (see module
+                    # docstring: deliberate deviation from the reference's
+                    # stale-context re-feed)
+                    for st in streams:
+                        hh = prefill(st, embed_ids([tok]))
+                        if st is cond:
+                            hidden_tok = hh[:, -1]
+                last_hidden = hidden_tok
                 out["generated_text"].append(self.tokenizer.decode(tokens))
+                record(item_idx, "model_text", before)
             else:
                 p = b.parallel_num
                 vp = b.vae_patch_size
@@ -143,31 +223,42 @@ class InterleavedGenerator:
                 start_ids = image_start_ids(self.tokenizer, lat_h, lat_w, p)
                 pe = pos_embed_2d(self.pos_table, lat_h, lat_w, ps=b.ps)
 
-                # causal prefill of [vision_start, res_h]; bidirectional
+                # causal prefill of [start_of_image, res_h]; bidirectional
                 # window over [res_w, queries] (mllm.py:763-795)
-                prefill(embed_ids(start_ids[:2]), causal=True)
-                hidden = prefill(embed_ids(start_ids[2:]), causal=False)
+                hiddens = []
+                for st in streams:
+                    prefill(st, embed_ids(start_ids[:2]), causal=True)
+                    hiddens.append(
+                        prefill(st, embed_ids(start_ids[2:]), causal=False))
 
                 all_tokens = []
                 for step in range(num_steps):
                     key, ks = jax.random.split(key)
                     pe_step = pe[step * p: (step + 1) * p]
-                    h_fused = hidden[:, -p:] + pe_step[None]
+                    # conditioning = hidden + pos embed, cond row first
+                    # (t2i_pipeline.py:245; sampling row order
+                    # sampling_x.py:16-20)
+                    h_fused = (jnp.concatenate(hiddens, axis=0)[:, -p:]
+                               + pe_step[None])
                     pred = b.head.apply(
                         b.head_params, h_fused, ks,
                         jnp.float32(cfg_scale), sample_steps,
-                        cfg_mult=rows, method=DiffHead.sample)
+                        cfg_mult=len(streams), method=DiffHead.sample)
                     toks = sign_quantize(pred)
                     all_tokens.append(np.asarray(toks[0]))
                     emb = b.projector.apply(b.projector_params, toks)
-                    emb = (emb + pe_step[None]).astype(hidden.dtype)
-                    emb = jnp.concatenate([emb] * rows, axis=0)
-                    hidden = prefill(emb, causal=False)
+                    # pos embed ALSO added to the next-step input embeds
+                    # (t2i_pipeline.py:253 / mllm.py:805)
+                    emb = (emb + pe_step[None]).astype(hiddens[0].dtype)
+                    hiddens = [prefill(st, emb, causal=False)
+                               for st in streams]
 
                 full = jnp.asarray(np.concatenate(all_tokens, axis=0))[None]
                 latents = tokens_to_latents(full, lat_h, lat_w, ps=b.ps)
                 img = b.ae.apply(b.ae_params, latents,
                                  method=type(b.ae).decode)
                 out["generated_image"].append(np.asarray(img[0]))
+                last_hidden = hiddens[0][:, -1]
+                record(item_idx, "model_image", before)
 
         return out
