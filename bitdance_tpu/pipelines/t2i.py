@@ -428,8 +428,11 @@ class T2IPipeline:
         guidance_scale: float = 7.5,
         num_images: int = 1,
         seed: int = 1234,
+        return_tokens: bool = False,
     ) -> np.ndarray:
-        """Returns uint8 images [n, H, W, 3]."""
+        """Returns uint8 images [n, H, W, 3]; with return_tokens, the tuple
+        (images, ±1 tokens [n, h*w, z]) — tokens are exact (sign-quantized)
+        and are what cross-run equivalence checks should compare."""
         from bitdance_tpu.data.special_tokens import (
             chatml_prompts,
             image_start_ids,
@@ -523,4 +526,7 @@ class T2IPipeline:
             imgs.append(np.asarray(dec(b.ae_params, tokens[i: i + 1])))
         if self.phase_timing:
             self.last_timing["vae"] = _time.perf_counter() - t0
-        return np.concatenate(imgs, axis=0)
+        out = np.concatenate(imgs, axis=0)
+        if return_tokens:
+            return out, np.asarray(tokens)
+        return out
