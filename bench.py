@@ -107,6 +107,32 @@ def run_t2i_ladder(ladder, timeout_s=480):
     return None, None, None
 
 
+def run_json_line_bench(module, marker, extra_args=None, timeout_s=600):
+    """Run a benchmarks/ module in a child process and parse its
+    `MARKER {json}` line. Returns the parsed dict or None."""
+    import re
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", module] + (extra_args or []),
+            cwd=REPO, env=dict(os.environ), capture_output=True, text=True,
+            timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"# {module}: timeout after {timeout_s}s", file=sys.stderr)
+        return None
+    m = re.search(rf"^{marker} (.*)$", r.stdout, re.MULTILINE)
+    if m:
+        try:
+            return json.loads(m.group(1))
+        except ValueError:
+            pass
+    tail = "\n".join((r.stdout + "\n" + r.stderr).strip().splitlines()[-8:])
+    print(f"# {module}: rc={r.returncode}, no {marker} line; tail:\n{tail}",
+          file=sys.stderr)
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -154,19 +180,35 @@ def main():
     t2i = t2i_14b = t2i_14b_full = None
     t2i_cfgs = {}
     t2i_attr = {}
+    t2i_16x = {}
     if not (args.quick or args.skip_t2i):
         # int8 serving config leads (measured 1.16 vs 1.35 s/image bf16);
+        # --vae-int8 joins it in r4 (VERDICT r3 ask #4: VAE was 32% of the
+        # 1024px wall and the int8 conv path was measured but unwired);
         # bf16 one-program is the escalation fallback
         t2i, t2i_cfgs["t2i_1024px"], t2i_attr["t2i_1024px"] = run_t2i_ladder(
-            [("int8", ["--quant-llm", "--quant-head", "--kv-int8"], {}),
+            [("int8+int8vae",
+              ["--quant-llm", "--quant-head", "--kv-int8", "--vae-int8"], {}),
              ("bf16", [], {}),
              ("bf16+one-program", [], {"BITDANCE_ONE_PROGRAM": "1"})],
             timeout_s=900)
+        # 16x model variant (reference ships 14B-16x alongside 64x and
+        # claims 64x ~3x faster, README.md:78,182): same 0.7B-class
+        # geometry as t2i_1024px but parallel_num=16, at 512px and 1024px
+        # (VERDICT r3 ask #7)
+        for res in (512, 1024):
+            k = f"t2i_16x_{res}px"
+            t2i_16x[k], t2i_cfgs[k], t2i_attr[k] = run_t2i_ladder(
+                [("int8+int8vae",
+                  ["--parallel", "16", "--height", str(res), "--quant-llm",
+                   "--quant-head", "--kv-int8", "--vae-int8"], {}),
+                 ("bf16", ["--parallel", "16", "--height", str(res)], {})],
+                timeout_s=700)
         # int8 W8A8 serving config: TRUE 14B width at 28/40 layers, the
         # single-chip maximum (bf16 stops at 13L); also the fastest.
         # Cold-cache compile is ~680s; warm (persistent compile cache) ~110s.
         base_28 = ["--real-14b", "--layers", "28", "--quant-llm",
-                   "--quant-head", "--images", "2"]
+                   "--quant-head", "--images", "2", "--vae-int8"]
         # int8-KV leads: bf16-KV at this geometry plans to within ~0.6G of
         # the HBM ceiling and runtime-OOMs (fragmentation) — measured r3
         t2i_14b, t2i_cfgs["t2i_14b_geom"], t2i_attr["t2i_14b_geom"] = \
@@ -182,7 +224,7 @@ def main():
         # via packed int4 W4A8 (ops/int4.py) — the only single-chip config
         # that serves the full-depth model (MEMORY_PLAN in bench_t2i.py)
         base_40 = ["--real-14b", "--layers", "40", "--quant-llm-int4",
-                   "--head-int4", "--images", "2"]
+                   "--head-int4", "--images", "2", "--vae-int8"]
         # int8-KV leads here too: 40L bf16-KV 2-image OOMs on-device
         # (RESOURCE_EXHAUSTED, measured r3) — don't burn a ~8min compile
         # on a config known to die
@@ -196,30 +238,35 @@ def main():
                                        "--kv-int8", "--images", "1"], {})],
                 timeout_s=1800)
 
-    # packed-MLLM train-step throughput at the PRODUCTION 33k token budget
-    # (bitdance_14b_64x.yaml:45-47) with sparse-iteration attention on by
-    # default (VERDICT r2 ask #4) — subprocess, same one-client rule
-    train_toks = None
-    if not (args.quick or args.skip_train):
-        import re
-        import subprocess
+    # tokenizer enc+dec throughput (the BASELINE.md north-star metric's
+    # throughput side; PSNR parity is covered by the golden tests) —
+    # d16c32 production geometry, 256px (VERDICT r3 ask #3)
+    tok = None
+    if not args.quick:
+        tok = run_json_line_bench("benchmarks.bench_tokenizer", "TOKENIZER",
+                                  timeout_s=900)
 
-        try:
-            r = subprocess.run(
-                [sys.executable, "-m", "benchmarks.bench_train",
-                 "--skip-imagenet", "--mllm-budget", "33280", "--steps", "4"],
-                cwd=REPO, env=dict(os.environ), capture_output=True,
-                text=True, timeout=900)
-            m = re.search(r"([0-9.]+) tokens/s/chip", r.stdout)
-            if m:
-                train_toks = float(m.group(1))
-            else:
-                tail = "\n".join((r.stdout + "\n" + r.stderr)
-                                 .strip().splitlines()[-6:])
-                print(f"# train bench: rc={r.returncode}, no tokens/s; "
-                      f"tail:\n{tail}", file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print("# train bench: timeout", file=sys.stderr)
+    # train-step throughput (subprocess, same one-client rule):
+    #  - packed MLLM at the PRODUCTION 33k token budget
+    #    (bitdance_14b_64x.yaml:45-47), sparse-iteration attention
+    #  - the same step at TRUE 14B width (5120d Qwen3-14B layer geometry +
+    #    5120-wide head), reduced depth to fit one chip (r3 ask #5)
+    #  - ImageNet AR train step (r3 ask #6)
+    train_mllm = train_5120 = train_imgnet = None
+    if not (args.quick or args.skip_train):
+        train_mllm = run_json_line_bench(
+            "benchmarks.bench_train", "TRAIN_MLLM",
+            ["--skip-imagenet", "--mllm-budget", "33280", "--steps", "4"],
+            timeout_s=900)
+        train_5120 = run_json_line_bench(
+            "benchmarks.bench_train", "TRAIN_MLLM",
+            ["--skip-imagenet", "--mllm-real-width", "--mllm-layers", "2",
+             "--mllm-budget", "8192", "--steps", "4"],
+            timeout_s=1200)
+        train_imgnet = run_json_line_bench(
+            "benchmarks.bench_train", "TRAIN_IMAGENET",
+            ["--skip-mllm", "--imagenet-batch", "256", "--steps", "4"],
+            timeout_s=900)
 
     from bitdance_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -395,18 +442,41 @@ def main():
         result["t2i_14b_full_depth_config"] = (
             "COMPLETE 40-layer 5120d LLM + full 14B head, packed int4 "
             f"W4A8, 2-image batch [{t2i_cfgs.get('t2i_14b_full_depth')}]")
+        # 16x variant (64x-vs-16x speed shape, reference README.md:78,182)
+        for k, v in t2i_16x.items():
+            result[f"{k}_s_per_image"] = v
+            result[f"{k}_vs_baseline"] = vs_prior(f"{k}_s_per_image", v)
+            result[f"{k}_config"] = (
+                f"0.7B-class LLM, parallel_num=16 [{t2i_cfgs.get(k)}]")
         # where the time goes + fraction of peak (VERDICT r2 ask #8)
         result["t2i_attribution"] = {k: v for k, v in t2i_attr.items()
                                      if v is not None}
+    if not args.quick:
+        result["tokenizer_enc_dec_imgs_per_sec"] = (
+            tok.get("enc_dec_imgs_per_sec") if tok else None)
+        prev_tok = prior_value(None, key="tokenizer_enc_dec_imgs_per_sec")
+        v = result["tokenizer_enc_dec_imgs_per_sec"]
+        result["tokenizer_vs_baseline"] = (
+            round(v / prev_tok, 4) if (v and prev_tok)
+            else (1.0 if v else None))
+        result["tokenizer_attribution"] = tok
     if not (args.quick or args.skip_train):
-        result["mllm_train_33k_tokens_per_sec"] = train_toks
-        prev_t = prior_value(None, key="mllm_train_33k_tokens_per_sec")
-        result["mllm_train_vs_baseline"] = (
-            round(train_toks / prev_t, 4) if (train_toks and prev_t)
-            else (1.0 if train_toks else None))
-        result["mllm_train_config"] = (
-            "0.7B-class 16L/1024d, 33280-token packed budget, "
-            "sparse-iteration attention, donated adamw state")
+        def train_keys(prefix, rec, value_key):
+            val = rec.get(value_key) if rec else None
+            result[f"{prefix}_{value_key}"] = val
+            prev_t = prior_value(None, key=f"{prefix}_{value_key}")
+            result[f"{prefix}_vs_baseline"] = (
+                round(val / prev_t, 4) if (val and prev_t)
+                else (1.0 if val else None))
+            if rec:
+                result[f"{prefix}_attribution"] = rec
+
+        train_keys("mllm_train_33k", train_mllm, "tokens_per_sec_per_chip")
+        train_keys("mllm_train_5120d", train_5120, "tokens_per_sec_per_chip")
+        train_keys("imagenet_train", train_imgnet, "imgs_per_sec_per_chip")
+        # continuity with the r2/r3 key name
+        result["mllm_train_33k_tokens_per_sec"] = (
+            train_mllm.get("tokens_per_sec_per_chip") if train_mllm else None)
     print(json.dumps(result))
     print(f"# batch={args.batch} steps={args.sample_steps} "
           f"best={best:.2f}s first(incl compile)={compile_and_first:.1f}s "

@@ -13,11 +13,14 @@ Usage: python benchmarks/bench_train.py [--imagenet-batch 256]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+V5E_PEAK_BF16_TFLOPS = 197.0   # per-chip dense bf16 (bench_t2i.py)
 
 # sitecustomize imports jax at startup (axon plugin), so JAX_PLATFORMS in
 # the env is too late — config.update is the reliable switch (conftest.py).
@@ -32,6 +35,23 @@ def _fence(x):
     import jax.numpy as jnp
 
     return float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
+
+
+def _param_count(tree):
+    import jax
+    import numpy as np
+
+    return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(tree)
+                   if hasattr(x, "shape")))
+
+
+def _train_mfu(fwd_matmul_tflops, dt_s, peak=V5E_PEAK_BF16_TFLOPS):
+    """Standard-convention training MFU: 3x the forward matmul FLOPs
+    (fwd + ~2x bwd), counted against dense bf16 peak. Full-remat recompute
+    is NOT credited (the hardware does ~4x; MFU quotes model math only),
+    so this understates achieved utilization slightly."""
+    ach = 3.0 * fwd_matmul_tflops / dt_s
+    return round(ach, 1), round(ach / peak, 3)
 
 
 def bench_imagenet(args):
@@ -78,6 +98,24 @@ def bench_imagenet(args):
     print(f"imagenet {args.model} train b{b} 256px: {dt*1e3:.0f} ms/step "
           f"({b/dt:.1f} imgs/s/chip) [compile {compile_s:.0f}s]")
 
+    # fwd matmul TFLOPs: 2 * tokens * params for the AR backbone (every
+    # image token + class prefix) and the diffusion head (one net call per
+    # image token row)
+    seq = cfg.prefix_len + cfg.num_tokens - cfg.parallel_num
+    fwd_tf = (2.0 * b * seq * _param_count(state.params["ar"])
+              + 2.0 * b * cfg.num_tokens
+              * _param_count(state.params["head"])) / 1e12
+    ach, mfu = _train_mfu(fwd_tf, dt)
+    print("TRAIN_IMAGENET " + json.dumps({
+        "imgs_per_sec_per_chip": round(b / dt, 2),
+        "ms_per_step": round(dt * 1e3, 1),
+        "mfu": mfu, "achieved_tflops": ach,
+        "peak_tflops_assumed": V5E_PEAK_BF16_TFLOPS,
+        "compile_s": round(compile_s, 1),
+        "config": f"{args.model} b{b} 256px bf16+remat, adamw+ema, "
+                  f"bit-flip perturb",
+    }))
+
 
 def bench_mllm(args):
     import functools
@@ -104,12 +142,30 @@ def bench_mllm(args):
     # 0.7B-class geometry (bench_t2i.py default) with the yaml's head shape
     # scaled to match; packed budget/images mirror the 14B recipe at 1/8 the
     # token budget (bitdance_14b_64x.yaml:45-47).
-    hidden = args.mllm_hidden
-    llm = q3.Qwen3Config(
-        vocab_size=4096, hidden_size=hidden, intermediate_size=hidden * 4,
-        num_hidden_layers=args.mllm_layers,
-        num_attention_heads=hidden // 64,
-        num_key_value_heads=max(hidden // 128, 1), head_dim=64)
+    if args.mllm_real_width:
+        # TRUE 14B width (bitdance_14b_64x.yaml:18-35): Qwen3-14B layer
+        # geometry + the 5120-wide 6-block head, at --mllm-layers depth.
+        # Vocab is shrunk (--mllm-vocab) because the 152k embed+lm_head add
+        # 1.56B params and, at the bf16-adamw 8 bytes/param train footprint,
+        # 12.5GB of state — the 16GB chip budget goes to the width-5120
+        # matmuls this measurement is about.
+        base = q3.Qwen3Config.qwen3_14b()
+        hidden = base.hidden_size
+        llm = q3.Qwen3Config(
+            vocab_size=args.mllm_vocab, hidden_size=hidden,
+            intermediate_size=base.intermediate_size,
+            num_hidden_layers=args.mllm_layers,
+            num_attention_heads=base.num_attention_heads,
+            num_key_value_heads=base.num_key_value_heads,
+            head_dim=base.head_dim)
+    else:
+        hidden = args.mllm_hidden
+        llm = q3.Qwen3Config(
+            vocab_size=args.mllm_vocab, hidden_size=hidden,
+            intermediate_size=hidden * 4,
+            num_hidden_layers=args.mllm_layers,
+            num_attention_heads=hidden // 64,
+            num_key_value_heads=max(hidden // 128, 1), head_dim=64)
     p = 64
     # live-kv bound from the hard data guarantee (longest packed document),
     # NOT the budget: a 512px doc is ~1176 tokens -> 4 live 512-token kv
@@ -118,7 +174,7 @@ def bench_mllm(args):
     max_doc = 40 + side * side + p + 48
     cfg = MLLMConfig(
         llm=llm, z_channels=32, parallel_num=p, head_model_dim=hidden,
-        head_num_blocks=6, head_num_adaln=2, pe_max_len=4096,
+        head_num_blocks=args.head_blocks, head_num_adaln=2, pe_max_len=4096,
         attn_max_live_kv=-(-max_doc // 512) + 1)
     tcfg = MLLMTrainConfig(lr=1e-5, warmup_steps=0, total_steps=1000)
 
@@ -146,6 +202,15 @@ def bench_mllm(args):
 
     params = init_mllm_params(jax.random.PRNGKey(0), cfg,
                               dtype=jnp.bfloat16)
+    if args.bf16_state:
+        # bf16 param STORAGE (flax inits keep f32 storage for the head /
+        # projector): adamw moments then follow at bf16 too, 6 bytes/param
+        # total instead of 12-16 — the only way the 5120-wide head's 1.57B
+        # params train on one 16GB chip. The production 14B contract
+        # shards f32 state over 64-chip FSDP instead (bitdance_14b_64x).
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
     tx = make_tx(params, tcfg)
     state = make_state(params, tx, tcfg)
 
@@ -167,6 +232,30 @@ def bench_mllm(args):
           f"{args.mllm_budget} ({n_img} imgs): {dt*1e3:.0f} ms/step "
           f"({n_tokens/dt:.0f} tokens/s/chip) [compile {compile_s:.0f}s]")
 
+    # fwd matmul TFLOPs: LLM layer stack on every packed token, chunked CE
+    # lm_head on text-loss positions, diffusion head net on vision-loss
+    # positions (one net call per vision token row)
+    n_txt = int(np.asarray(raw["ce_text_indexes"]).size)
+    n_vis = int(np.asarray(raw["vision_loss_indexes"]).size)
+    fwd_tf = (2.0 * n_tokens * _param_count(params["llm"]["layers"])
+              + 2.0 * n_txt * llm.vocab_size * hidden
+              + 2.0 * n_vis * cfg.diff_batch_mul
+              * _param_count(params["head"])) / 1e12
+    ach, mfu = _train_mfu(fwd_tf, dt)
+    tag = "REAL-14B-WIDTH " if args.mllm_real_width else ""
+    print("TRAIN_MLLM " + json.dumps({
+        "tokens_per_sec_per_chip": round(n_tokens / dt, 1),
+        "ms_per_step": round(dt * 1e3, 1),
+        "mfu": mfu, "achieved_tflops": ach,
+        "peak_tflops_assumed": V5E_PEAK_BF16_TFLOPS,
+        "compile_s": round(compile_s, 1),
+        "config": f"{tag}{args.mllm_layers}L/{hidden}d vocab "
+                  f"{llm.vocab_size} head{args.head_blocks}x{hidden}d, "
+                  f"budget {args.mllm_budget} ({n_img} imgs), bf16+remat, "
+                  + ("bf16 state, " if args.bf16_state else "")
+                  + "sparse-iteration attention, donated adamw",
+    }))
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -175,6 +264,16 @@ def main():
     ap.add_argument("--mllm-budget", type=int, default=4096)
     ap.add_argument("--mllm-hidden", type=int, default=1024)
     ap.add_argument("--mllm-layers", type=int, default=16)
+    ap.add_argument("--mllm-vocab", type=int, default=4096)
+    ap.add_argument("--mllm-real-width", action="store_true",
+                    help="TRUE 14B width: Qwen3-14B layer geometry (5120d, "
+                         "17408 inter, 40h/8kv x128) + 5120-wide head, at "
+                         "--mllm-layers depth (single-chip fit: see flag "
+                         "docs in source)")
+    ap.add_argument("--head-blocks", type=int, default=6)
+    ap.add_argument("--bf16-state", action="store_true",
+                    help="bf16 param storage + bf16 adamw moments (see "
+                         "comment at the cast site)")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--skip-imagenet", action="store_true")
     ap.add_argument("--skip-mllm", action="store_true")
