@@ -17,6 +17,9 @@ import numpy as np
 from bitdance_tpu.ops import fused_head as fh
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "both"
+# streamed kernel variant to bench: "dma" (manual-DMA, default) or "tiled"
+# (the r3 grid-tiled kernel, kept for A/B)
+VARIANT = sys.argv[2] if len(sys.argv) > 2 else "dma"
 
 
 def make_stacked(key, C, H, ch, L, ada, quant, dtype=jnp.bfloat16):
@@ -97,7 +100,7 @@ def run_case(C, H, ch, L, ada, R, steps, quant, n_head, groups, iters=3,
                                    out_dtype=jnp.bfloat16)
         return fh.fused_em_sample(stacked, x0, noise, allmods, t_all,
                                   dt_all, jnp.float32(4.0),
-                                  resident=False, streamed=True, **kw)
+                                  resident=False, streamed=VARIANT, **kw)
 
     @jax.jit
     def run_stacked(stacked, x0, noise, c_emb):

@@ -1056,6 +1056,367 @@ def _fused_em_sample_streamed(
     )(*args)
 
 
+def _fused_em_kernel_streamed_dma(
+    # inputs
+    x0_ref, noise_ref, m0_ref, m1_ref, m2_ref, fm_ref,
+    t_sm, dt_sm, cfg_sm,
+    in_w_ref, in_b_ref, f_out_w_ref, f_out_b_ref,
+    n1_ref, n2_ref,
+    bqkv_ref, bo_ref, b1_ref, b2_ref,
+    wqkv_hbm, wo_hbm, w1_hbm, w2_hbm,
+    *rest,
+    num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
+    groups: int, bounded: bool, last_step_size: float, quant: bool,
+    tn: int, hidden: int, final_chunk: bool = True, eps: float = 1e-6,
+):
+    """MANUAL-DMA twin of _fused_em_kernel_streamed.
+
+    The tiled variant drives the sub-block weight tiles through the Pallas
+    grid (grid dim 2 = tile index) and its revolving-buffer machinery;
+    measured at the 14B head geometry that costs ~43-54 us/tile against a
+    ~10-17 us DMA/MXU roofline — the per-grid-step fixed cost (27 input
+    index maps + pipeline bookkeeping on the scalar core) swamps the
+    actual work, and pre-tiling the weights to make the DMAs contiguous
+    did not move it (r3 probe, benchmarks/probe_head_dots.py docstring).
+
+    Here the grid is (num_steps+1, num_blocks) — identical to
+    _fused_em_kernel — and the four block matrices stay in HBM
+    (memory_space=ANY); the kernel walks their column tiles with a
+    STATICALLY UNROLLED loop and explicit double-buffered
+    `pltpu.make_async_copy`s: tile i+1's DMA is issued before tile i's
+    compute, and the first tile of the NEXT block is issued at the end of
+    the current grid step, so the weight stream never drains. Static
+    unrolling also makes every buf_vm/h_vm slice offset a compile-time
+    constant (the tiled kernel's traced lane offsets forced dynamic VMEM
+    addressing).
+
+    Stage order per block (same as the tiled kernel): qkv tiles ->
+    attention -> wo tiles (gated residual) -> w1 tiles -> GLU -> w2 tiles
+    (gated residual); epilogue (final layer + EM update) on the last
+    block. Activations are quantized ONCE per stage into a_vm (identical
+    semantics to _mmq's per-call row quantization).
+    """
+    rest = list(rest)
+    wqkv_s = wo_s = w1_s = w2_s = None
+    if quant:
+        wqkv_s, wo_s, w1_s, w2_s = rest[:4]
+        rest = rest[4:]
+        o_ref, x_vm, h_vm, buf_vm, a_vm, sa_vm, w_sc, sem = rest
+    else:
+        o_ref, x_vm, h_vm, buf_vm, a_vm, w_sc, sem = rest
+        sa_vm = None
+
+    s = pl.program_id(0)
+    l = pl.program_id(1)
+    half = x0_ref.shape[0]
+    c_dim = h_vm.shape[1]
+    elem = n2_ref.dtype
+    n_l = num_blocks
+
+    # stage -> (HBM weight stack, logical K); stored K (shape[1]) may be
+    # half the logical K for int4-packed stacks
+    stages = {
+        "A": (wqkv_hbm, c_dim),
+        "B": (wo_hbm, c_dim),
+        "C": (w1_hbm, c_dim),
+        "D": (w2_hbm, hidden),
+    }
+    t_q, t_o = 3 * c_dim // tn, c_dim // tn
+    t_1, t_2 = 2 * hidden // tn, c_dim // tn
+    plan = ([("A", t) for t in range(t_q)] + [("B", t) for t in range(t_o)]
+            + [("C", t) for t in range(t_1)] + [("D", t) for t in range(t_2)])
+    n_tiles = len(plan)
+    assert n_tiles % 2 == 0, "tile count must be even (slot 0 alignment)"
+
+    def dma(slot, stage, li, t):
+        w_hbm, _ = stages[stage]
+        k_st = w_hbm.shape[1]
+        return pltpu.make_async_copy(
+            w_hbm.at[li, :, pl.ds(t * tn, tn)],
+            w_sc.at[slot, 0:k_st, :],
+            sem.at[slot])
+
+    def stage_quant(act):
+        """Row-quantize (or bf16-store) a stage's activations into a_vm."""
+        k_dim = act.shape[1]
+        if quant:
+            sa = jnp.maximum(
+                jnp.max(jnp.abs(act), axis=1, keepdims=True) / 127.0, 1e-12)
+            q = jnp.clip(jnp.round(act / sa), -127, 127).astype(jnp.int8)
+            a_vm[:, 0:k_dim] = q
+            sa_vm[...] = jnp.broadcast_to(sa, sa_vm.shape)
+        else:
+            a_vm[:, 0:k_dim] = act.astype(elem)
+
+    def stage_dot(slot, k_dim, k_st, w_s_tile):
+        """a_vm[:, :k_dim] @ w_sc[slot] -> f32 [R, tn] (s8 path if quant;
+        int4-packed tiles detected by halved stored K — W4A8)."""
+        w_tile = w_sc[slot, 0:k_st, :]
+        if quant and 2 * k_st == k_dim:
+            lo, hi = _unpack_int4(w_tile)
+            y = (jax.lax.dot_general(
+                    a_vm[:, 0:k_st], lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                 + jax.lax.dot_general(
+                    a_vm[:, k_st:k_dim], hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32))
+            return y.astype(jnp.float32) * (sa_vm[:, 0:1] * w_s_tile)
+        a = a_vm[:, 0:k_dim]
+        if quant:
+            y = jax.lax.dot_general(a, w_tile, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * (sa_vm[:, 0:1] * w_s_tile)
+        return jax.lax.dot_general(a, w_tile, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def lnmod(nrm, scale, shift):
+        ln = _ln(h_vm[...], eps) * nrm[0][None].astype(jnp.float32) \
+            + nrm[1][None].astype(jnp.float32)
+        return ln * (1.0 + scale.astype(jnp.float32)) \
+            + shift.astype(jnp.float32)
+
+    @pl.when((s == 0) & (l == 0))
+    def _init():
+        x_vm[...] = x0_ref[...].astype(jnp.float32)
+        dma(0, "A", 0, 0).start()
+
+    @pl.when(l == 0)
+    def _proj_in():
+        x = x_vm[...]
+        combined = jnp.concatenate([x, x], axis=0)           # CFG rows
+        h_vm[...] = _dot(combined, in_w_ref) + in_b_ref[0][None]
+
+    nxt_l = jax.lax.rem(l + 1, n_l)
+    ns_grid = num_steps + (1 if final_chunk else 0)
+    not_last = jnp.logical_not((s == ns_grid - 1) & (l == num_blocks - 1))
+
+    # stage A entry: adaLN(attention) modulation, quantized once
+    m0 = m0_ref[0]                                           # [R, 2C]
+    stage_quant(lnmod(n1_ref[0], m0[:, :c_dim], m0[:, c_dim:]))
+
+    for i, (stage, t) in enumerate(plan):
+        slot = i % 2
+        # keep the weight stream one tile ahead of the MXU
+        if i + 1 < n_tiles:
+            n_stage, n_t = plan[i + 1]
+            dma((i + 1) % 2, n_stage, l, n_t).start()
+        else:
+            @pl.when(not_last)
+            def _prefetch_next_block():
+                dma(0, "A", nxt_l, 0).start()
+        w_hbm, k_dim = stages[stage]
+        k_st = w_hbm.shape[1]
+        dma(stage=stage, slot=slot, li=l, t=t).wait()
+        sl = slice(t * tn, (t + 1) * tn)
+
+        if stage == "A":
+            ws = wqkv_s[0, 0, sl][None] if quant else None
+            y = stage_dot(slot, k_dim, k_st, ws) + bqkv_ref[0, 0, sl][None]
+            buf_vm[:, sl] = y.astype(elem)
+            if t == t_q - 1:
+                stage_quant(_attn_from_qkv(
+                    buf_vm[:, 0:3 * c_dim], n_head=n_head, groups=groups,
+                    c_dim=c_dim))
+        elif stage == "B":
+            ws = wo_s[0, 0, sl][None] if quant else None
+            proj = stage_dot(slot, k_dim, k_st, ws) + bo_ref[0, 0, sl][None]
+            gate1 = m1_ref[0, :, sl].astype(jnp.float32)
+            h_vm[:, sl] = h_vm[:, sl] + proj * gate1
+            if t == t_o - 1:
+                stage_quant(lnmod(n2_ref[0], m1_ref[0][:, c_dim:],
+                                  m2_ref[0][:, :c_dim]))
+        elif stage == "C":
+            ws = w1_s[0, 0, sl][None] if quant else None
+            y = stage_dot(slot, k_dim, k_st, ws) + b1_ref[0, 0, sl][None]
+            buf_vm[:, sl] = y.astype(elem)
+            if t == t_1 - 1:
+                h1 = buf_vm[:, 0:hidden].astype(jnp.float32)
+                h2 = buf_vm[:, hidden:2 * hidden].astype(jnp.float32)
+                stage_quant(jax.nn.silu(h1) * h2)
+        else:                                                # stage D
+            ws = w2_s[0, 0, sl][None] if quant else None
+            y = stage_dot(slot, k_dim, k_st, ws) + b2_ref[0, 0, sl][None]
+            gate2 = m2_ref[0, :, c_dim + t * tn:
+                           c_dim + (t + 1) * tn].astype(jnp.float32)
+            h_vm[:, sl] = h_vm[:, sl] + y * gate2
+
+    # ---- epilogue: final layer + EM update (last block) ---------------------
+    @pl.when(l == num_blocks - 1)
+    def _em_step():
+        fmod = fm_ref[0].astype(jnp.float32)                 # [R, 2C]
+        z = _ln(h_vm[...], eps) * (1.0 + fmod[:, :c_dim]) \
+            + fmod[:, c_dim:]
+        out = _dot(z, f_out_w_ref) + f_out_b_ref[0][None]    # [R, ch]
+        if bounded:
+            out = 2.0 * jax.nn.sigmoid(out) - 1.0
+
+        tv = t_sm[s]
+        dt = dt_sm[s]
+        cfgv = cfg_sm[0]
+        x = x_vm[...]
+        combined = jnp.concatenate([x, x], axis=0)
+        v = (out - combined) / jnp.maximum(1.0 - tv, 0.05)
+        vc = v[half:] + cfgv * (v[:half] - v[half:])
+
+        @pl.when(s < num_steps)
+        def _stochastic():
+            var = jnp.square(1.0 - tv) + tv * (1.0 - tv)
+            score = (tv * vc - x) / var
+            drift = vc + (1.0 - tv) * score
+            ns = jnp.sqrt(2.0 * (1.0 - tv) * dt)
+            xn = x + drift * dt + ns * noise_ref[0].astype(jnp.float32)
+            x_vm[...] = xn
+            if not final_chunk:
+                @pl.when(s == num_steps - 1)
+                def _write_out():
+                    o_ref[...] = xn.astype(o_ref.dtype)
+
+        @pl.when(s == num_steps)
+        def _final_euler():
+            xf = x + vc * last_step_size
+            x_vm[...] = xf
+            o_ref[...] = xf.astype(o_ref.dtype)
+
+
+def _pick_stream_dma_tile(c_dim: int, hidden: int, rows: int,
+                          stored_k_max: int,
+                          w_itemsize: int = 1) -> int | None:
+    """Largest weight-column tile for the manual-DMA streamed kernel:
+    must divide every stage width (3C, C, 2H), give an EVEN total tile
+    count (so the double-buffer slot of each grid step's first tile is
+    statically 0), and fit the VMEM model (one shared 2-slot weight
+    scratch instead of the tiled kernel's per-input revolving buffers —
+    which is why this picker admits much larger tiles)."""
+    scratch = (rows * c_dim * 4             # h residual (f32)
+               + rows * max(3 * c_dim, 2 * hidden) * 2   # qkv/h12 (bf16)
+               + rows * max(c_dim, hidden) * 2           # stage acts
+               + rows * 512 * 4)            # row scales + x state slack
+    mods = 4 * 2 * rows * 2 * c_dim * 2     # 4 aliased inputs, 2 bufs, bf16
+    for tn in (2560, 2048, 1280, 1024, 640, 512, 256, 128):
+        if c_dim % tn or (2 * hidden) % tn:
+            continue
+        if ((5 * c_dim + 2 * hidden) // tn) % 2:
+            continue
+        weights = 2 * stored_k_max * tn * w_itemsize
+        if scratch + mods + weights < 112 * 1024 * 1024:
+            return tn
+    return None
+
+
+def streamed_dma_available(c_dim: int, rows: int, attention: bool,
+                           hidden: int | None = None,
+                           weight_itemsize: float = 1) -> bool:
+    """Feasibility of the manual-DMA streamed EM kernel (attention-family
+    SwiGLU heads; weight_itemsize 0.5 = int4-packed)."""
+    if not attention or c_dim % 128 != 0:
+        return False
+    hidden = int(c_dim * 1.5) if hidden is None else hidden
+    stored_k_max = (max(c_dim, hidden) // 2 if weight_itemsize == 0.5
+                    else max(c_dim, hidden))
+    item = 1 if weight_itemsize <= 1 else int(weight_itemsize)
+    return _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
+                                 item) is not None
+
+
+def _fused_em_sample_streamed_dma(
+    stacked, x0, noise, allmods, t_all, dt_all, cfg, *,
+    num_blocks, switch_freq, n_head, groups, attention, bounded,
+    last_step_size, quant, num_steps, interpret, final_chunk=True,
+):
+    """pallas_call wrapper for _fused_em_kernel_streamed_dma. Same
+    `allmods` layout as the other EM wrappers (viewed through four aliased
+    2C-column-blocked inputs); the four weight stacks are passed un-blocked
+    in ANY memory space and DMA'd by the kernel."""
+    assert attention, "streamed EM kernel is for the attention head family"
+    half, ch = x0.shape
+    rows = 2 * half
+    c_dim = stacked["n2"].shape[-1]
+    hidden = stacked["b1"].shape[-1] // 2
+    stored_k_max = max(stacked["wqkv"].shape[1], stacked["w2"].shape[1])
+    tn = _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
+                               stacked["w1"].dtype.itemsize)
+    assert tn is not None, (c_dim, hidden, rows)
+    assert allmods.shape[2] % (2 * c_dim) == 0, allmods.shape
+    fm_block = allmods.shape[2] // (2 * c_dim) - 1
+
+    const = lambda arr: pl.BlockSpec(arr.shape, lambda s, l: (0,) * arr.ndim)
+    smem = lambda arr: pl.BlockSpec(
+        arr.shape, lambda s, l: (0,) * arr.ndim, memory_space=pltpu.SMEM)
+    per_block = lambda arr: pl.BlockSpec(
+        (1,) + arr.shape[1:], lambda s, l: (l,) + (0,) * (arr.ndim - 1))
+    mods_block = (1, rows, 2 * c_dim)
+
+    def mods_map(j):
+        return pl.BlockSpec(
+            mods_block, lambda s, l: (s, 0, (l // switch_freq) * 3 + j))
+
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+
+    args = [
+        x0, noise, allmods, allmods, allmods, allmods,
+        t_all, dt_all, cfg.reshape(1),
+        stacked["in_w"], stacked["in_b"][None],
+        stacked["f_out_w"], stacked["f_out_b"][None],
+        stacked["n1"], stacked["n2"],
+        stacked["bqkv"], stacked["bo"], stacked["b1"], stacked["b2"],
+        stacked["wqkv"], stacked["wo"], stacked["w1"], stacked["w2"],
+    ]
+    specs = [
+        const(x0),
+        pl.BlockSpec((1,) + noise.shape[1:],
+                     lambda s, l: (jnp.minimum(s, num_steps - 1), 0, 0)),
+        mods_map(0), mods_map(1), mods_map(2),
+        pl.BlockSpec(mods_block, lambda s, l: (s, 0, fm_block)),
+        smem(t_all), smem(dt_all), smem(cfg.reshape(1)),
+        const(stacked["in_w"]), const(stacked["in_b"][None]),
+        const(stacked["f_out_w"]), const(stacked["f_out_b"][None]),
+        per_block(stacked["n1"]), per_block(stacked["n2"]),
+        per_block(stacked["bqkv"]), per_block(stacked["bo"]),
+        per_block(stacked["b1"]), per_block(stacked["b2"]),
+        hbm, hbm, hbm, hbm,
+    ]
+    if quant:
+        args += [stacked["wqkv_s"], stacked["wo_s"],
+                 stacked["w1_s"], stacked["w2_s"]]
+        specs += [per_block(stacked["wqkv_s"]), per_block(stacked["wo_s"]),
+                  per_block(stacked["w1_s"]), per_block(stacked["w2_s"])]
+
+    elem = stacked["n2"].dtype
+    scratch = [
+        pltpu.VMEM((half, ch), jnp.float32),                 # x
+        pltpu.VMEM((rows, c_dim), jnp.float32),              # h (residual)
+        pltpu.VMEM((rows, max(3 * c_dim, 2 * hidden)), elem),  # qkv / h12
+        pltpu.VMEM((rows, max(c_dim, hidden)),
+                   jnp.int8 if quant else elem),             # stage acts
+    ]
+    if quant:
+        scratch.append(pltpu.VMEM((rows, 128), jnp.float32))  # row scales
+    scratch += [
+        pltpu.VMEM((2, stored_k_max, tn), stacked["w1"].dtype),  # wt tiles
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    kernel = functools.partial(
+        _fused_em_kernel_streamed_dma, num_blocks=num_blocks,
+        num_steps=num_steps, switch_freq=switch_freq, n_head=n_head,
+        groups=groups, bounded=bounded, last_step_size=last_step_size,
+        quant=quant, tn=tn, hidden=hidden, final_chunk=final_chunk)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(num_steps + (1 if final_chunk else 0), num_blocks),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(x0.shape, lambda s, l: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def fused_em_sample(
     stacked: dict,
     x0: jax.Array,         # [half, ch] initial noise (cond rows only)
@@ -1121,8 +1482,10 @@ def fused_em_sample(
             final_chunk=final_chunk)
 
     # per-(step, block) streaming needs a whole block's weights double-
-    # buffered in VMEM; beyond that (the 5120-wide 14B head) switch to the
-    # sub-block-tiled streamed kernel
+    # buffered in VMEM; beyond that (the 5120-wide 14B head) switch to a
+    # sub-block-tiled streamed kernel. `streamed` accepts True (auto:
+    # manual-DMA variant when feasible, else the grid-tiled one), "dma",
+    # or "tiled" (the r3 kernel, kept for A/B measurement).
     if streamed is None:
         streamed = 2 * weight_bytes // num_blocks > 60 * 1024 * 1024
     if streamed:
@@ -1130,17 +1493,23 @@ def fused_em_sample(
         c_dim = stacked["n2"].shape[-1]
         hidden = stacked["b1"].shape[-1] // 2
         int4 = 2 * stacked["w1"].shape[1] == c_dim
-        assert streamed_em_available(
-            c_dim, rows, attention, hidden,
-            0.5 if int4 else stacked["w1"].dtype.itemsize), \
-            (c_dim, rows, attention, hidden)
-        return _fused_em_sample_streamed(
-            stacked, x0, noise, allmods, t_all, dt_all, cfg,
+        w_item = 0.5 if int4 else stacked["w1"].dtype.itemsize
+        stream_kw = dict(
             num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
             groups=groups, attention=attention, bounded=bounded,
             last_step_size=last_step_size, quant=quant,
             num_steps=num_steps, interpret=interpret,
             final_chunk=final_chunk)
+        if streamed != "tiled" and streamed_dma_available(
+                c_dim, rows, attention, hidden, w_item):
+            return _fused_em_sample_streamed_dma(
+                stacked, x0, noise, allmods, t_all, dt_all, cfg,
+                **stream_kw)
+        assert streamed_em_available(
+            c_dim, rows, attention, hidden, w_item), \
+            (c_dim, rows, attention, hidden)
+        return _fused_em_sample_streamed(
+            stacked, x0, noise, allmods, t_all, dt_all, cfg, **stream_kw)
 
     const = lambda arr: pl.BlockSpec(arr.shape, lambda s, l: (0,) * arr.ndim)
     per_block = lambda arr: pl.BlockSpec(

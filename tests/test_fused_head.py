@@ -392,15 +392,17 @@ def test_em_stacked_xla_int4_close_to_fp():
     assert err > 0, "quantization had no effect (suspicious)"
 
 
+@pytest.mark.parametrize("streamed", ["tiled", "dma"])
 @pytest.mark.parametrize("quant", [False, True, "int4"])
-def test_fused_em_streamed_matches_per_block(quant):
-    """The sub-block-tiled streamed kernel (beyond-VMEM per-block weights,
-    the 14B T2I head geometry) == the per-(step, block) kernel on identical
-    inputs, int8 W8A8 included."""
+def test_fused_em_streamed_matches_per_block(quant, streamed):
+    """Both sub-block streamed kernels (grid-tiled and manual-DMA; the
+    beyond-VMEM 14B T2I head regime) == the per-(step, block) kernel on
+    identical inputs, int8 W8A8 and packed int4 W4A8 included."""
     from bitdance_tpu.ops.fused_head import (
         em_precompute,
         fused_em_sample,
         stack_diffnet_params,
+        streamed_dma_available,
         streamed_em_available,
     )
 
@@ -413,6 +415,7 @@ def test_fused_em_streamed_matches_per_block(quant):
     noise = jnp.asarray(rng.normal(size=(steps,) + x0f.shape), jnp.float32)
 
     assert streamed_em_available(256, 2 * x0f.shape[0], True, hidden=384)
+    assert streamed_dma_available(256, 2 * x0f.shape[0], True, hidden=384)
     stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32,
                                    quant=quant)
     allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
@@ -422,13 +425,14 @@ def test_fused_em_streamed_matches_per_block(quant):
                            jnp.float32(2.0), resident=False, streamed=False,
                            **kw)
     got = fused_em_sample(stacked, x0f, noise, allmods, t_all, dt_all,
-                          jnp.float32(2.0), resident=False, streamed=True,
+                          jnp.float32(2.0), resident=False, streamed=streamed,
                           **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("variant", ["per_block", "resident", "streamed"])
+@pytest.mark.parametrize("variant",
+                         ["per_block", "resident", "tiled", "dma"])
 def test_fused_em_step_chunked_matches_single_shot(variant):
     """Step-chunked sampling (final_chunk=False chaining, the 14B HBM-peak
     fix in diff_head._run_fused_sample) == one whole-loop kernel call, for
@@ -448,7 +452,7 @@ def test_fused_em_step_chunked_matches_single_shot(variant):
     kw = dict(num_blocks=4, num_ada=2, n_head=2, groups=groups,
               attention=True, bounded=True, interpret=True,
               resident=variant == "resident",
-              streamed=variant == "streamed")
+              streamed=(variant if variant in ("tiled", "dma") else False))
     want = fused_em_sample(stacked, x0f, noise, allmods, t_all, dt_all,
                            jnp.float32(2.0), **kw)
 
