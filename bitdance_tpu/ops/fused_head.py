@@ -893,30 +893,34 @@ def streamed_em_available(c_dim: int, rows: int, attention: bool,
 def streamed_em_preferred(c_dim: int, rows: int, attention: bool,
                           hidden: int | None = None,
                           weight_itemsize: float = 1) -> bool:
-    """ROUTING preference for the streamed EM kernel: NEVER by default.
+    """ROUTING preference for the streamed EM kernel: the MANUAL-DMA
+    variant when available, never the grid-tiled one.
 
-    Measured end-to-end at the flagship serving config (true-14B width,
-    28L int8 W8A8 LLM + int8 KV, 2 images, 1024px): streamed kernel
-    17.69 s/image vs stacked XLA sampler 7.31 — a 2.4x regression. In the
-    beyond-VMEM regime the kernel re-streams every sub-block weight tile
-    from HBM once per (step, block) with no cross-step reuse, while the
-    stacked sampler's lax.scan lets XLA software-pipeline the identical
-    weight traffic behind MXU work; int4 additionally pays the per-tile
-    VPU nibble unpack each visit (measured 10.52 vs 4.89 ms/net-call at
-    C=5120 H=7680 R=256). Narrower heads never reach this question — their
-    per-block weights fit VMEM and route through fused_net_available — so
-    no regime remains where streaming wins.
+    Measured at the 14B head geometry (C=5120 H=7680 L=6 R=256, 50 steps,
+    one v5e, benchmarks/bench_streamed_head.py, em_precompute included in
+    both sides):
+        int8 W8A8 : dma 3.353 ms/net-call vs stacked XLA 4.627  (1.38x)
+        int4 W4A8 : dma 3.187 ms/net-call vs stacked XLA 6.706  (2.10x)
+    against the ~2.8 ms floor (1.74 MXU + 0.48 modcat + ~0.5 serial glue,
+    benchmarks/probe_head_dots.py). The r3 grid-tiled kernel measured
+    10.35 ms at the same shape — per-grid-step fixed cost, see
+    _fused_em_kernel_streamed_dma's docstring — and stays dispreferred;
+    its 17.69-vs-7.31 s/image end-to-end regression record is why this
+    function gates on the dma variant specifically.
 
-    BITDANCE_STREAMED_EM=force re-enables routing (re-measurement on new
-    hardware/toolchains); =0 keeps meaning OFF for ladder compatibility.
-    The kernel itself stays exercised via explicit streamed=True (tests,
-    benchmarks/bench_streamed_head.py)."""
+    BITDANCE_STREAMED_EM=0 forces the stacked XLA sampler (ladder
+    escalation / re-measurement); =force additionally admits the tiled
+    kernel where the dma variant is infeasible."""
     import os
 
-    if os.environ.get("BITDANCE_STREAMED_EM", "") != "force":
+    env = os.environ.get("BITDANCE_STREAMED_EM", "")
+    if env == "0":
         return False
-    return streamed_em_available(c_dim, rows, attention, hidden,
-                                 weight_itemsize)
+    if streamed_dma_available(c_dim, rows, attention, hidden,
+                              weight_itemsize):
+        return True
+    return env == "force" and streamed_em_available(
+        c_dim, rows, attention, hidden, weight_itemsize)
 
 
 def _fused_em_sample_streamed(
