@@ -206,37 +206,45 @@ def main():
                 timeout_s=700)
         # int8 W8A8 serving config: TRUE 14B width at 28/40 layers, the
         # single-chip maximum (bf16 stops at 13L); also the fastest.
-        # Cold-cache compile is ~680s; warm (persistent compile cache) ~110s.
+        # r4: the manual-DMA streamed head kernel leads (6.80 -> 6.11
+        # s/image at 2 images) and makes a 3-image batch WIN (5.74, MFU
+        # 0.699 — the DMA-hidden head amortizes; the r3 stacked sampler
+        # measured worse at 3). Cold compile ~1100s through the tunnel;
+        # warm (persistent cache) ~2min. BITDANCE_STREAMED_EM=0 rung =
+        # the r3-proven stacked-XLA sampler (6.80) if the kernel path
+        # regresses on driver hardware.
         base_28 = ["--real-14b", "--layers", "28", "--quant-llm",
-                   "--quant-head", "--images", "2", "--vae-int8"]
-        # int8-KV leads: bf16-KV at this geometry plans to within ~0.6G of
-        # the HBM ceiling and runtime-OOMs (fragmentation) — measured r3
+                   "--quant-head", "--vae-int8", "--kv-int8"]
+        # int8-KV everywhere: bf16-KV at this geometry plans to within
+        # ~0.6G of the HBM ceiling and runtime-OOMs — measured r3
         t2i_14b, t2i_cfgs["t2i_14b_geom"], t2i_attr["t2i_14b_geom"] = \
             run_t2i_ladder(
-                [("int8+int8kv", base_28 + ["--kv-int8"], {}),
-                 ("int8+int8kv+one-program", base_28 + ["--kv-int8"],
-                  {"BITDANCE_ONE_PROGRAM": "1"}),
+                [("int8+3img", base_28 + ["--images", "3"], {}),
+                 ("int8+2img", base_28 + ["--images", "2"], {}),
+                 ("int8+2img+stacked-sampler", base_28 + ["--images", "2"],
+                  {"BITDANCE_STREAMED_EM": "0"}),
                  ("int8+bf16kv-1img", ["--real-14b", "--layers", "28",
                                        "--quant-llm", "--quant-head",
                                        "--images", "1"], {})],
-                timeout_s=1500)
+                timeout_s=1800)
         # COMPLETE-model capacity config: all 40 layers at true 14B width
         # via packed int4 W4A8 (ops/int4.py) — the only single-chip config
         # that serves the full-depth model (MEMORY_PLAN in bench_t2i.py)
         base_40 = ["--real-14b", "--layers", "40", "--quant-llm-int4",
-                   "--head-int4", "--images", "2", "--vae-int8"]
+                   "--head-int4", "--vae-int8", "--kv-int8"]
         # int8-KV leads here too: 40L bf16-KV 2-image OOMs on-device
         # (RESOURCE_EXHAUSTED, measured r3) — don't burn a ~8min compile
-        # on a config known to die
+        # on a config known to die. r4 kernel: 9.75 -> 7.05 s/image at
+        # 2 images; stacked-sampler rung (=0) is the r3-proven fallback.
         t2i_14b_full, t2i_cfgs["t2i_14b_full_depth"], \
             t2i_attr["t2i_14b_full_depth"] = run_t2i_ladder(
-                [("int4+int8kv", base_40 + ["--kv-int8"], {}),
-                 ("int4+int8kv+one-program", base_40 + ["--kv-int8"],
-                  {"BITDANCE_ONE_PROGRAM": "1"}),
+                [("int4+2img", base_40 + ["--images", "2"], {}),
+                 ("int4+2img+stacked-sampler", base_40 + ["--images", "2"],
+                  {"BITDANCE_STREAMED_EM": "0"}),
                  ("int4+int8kv-1img", ["--real-14b", "--layers", "40",
                                        "--quant-llm-int4", "--head-int4",
                                        "--kv-int8", "--images", "1"], {})],
-                timeout_s=1800)
+                timeout_s=2100)
 
     # tokenizer enc+dec throughput (the BASELINE.md north-star metric's
     # throughput side; PSNR parity is covered by the golden tests) —
@@ -261,7 +269,7 @@ def main():
         train_5120 = run_json_line_bench(
             "benchmarks.bench_train", "TRAIN_MLLM",
             ["--skip-imagenet", "--mllm-real-width", "--mllm-layers", "2",
-             "--mllm-budget", "8192", "--steps", "4"],
+             "--mllm-budget", "8192", "--steps", "4", "--bf16-state"],
             timeout_s=1200)
         train_imgnet = run_json_line_bench(
             "benchmarks.bench_train", "TRAIN_IMAGENET",

@@ -1283,14 +1283,17 @@ def _fused_em_kernel_streamed_dma(
 
 
 def _pick_stream_dma_tile(c_dim: int, hidden: int, rows: int,
-                          stored_k_max: int,
-                          w_itemsize: int = 1) -> int | None:
+                          stored_k_max: int, w_itemsize: int = 1,
+                          int4: bool = False) -> int | None:
     """Largest weight-column tile for the manual-DMA streamed kernel:
     must divide every stage width (3C, C, 2H), give an EVEN total tile
     count (so the double-buffer slot of each grid step's first tile is
     statically 0), and fit the VMEM model (one shared 2-slot weight
     scratch instead of the tiled kernel's per-input revolving buffers —
-    which is why this picker admits much larger tiles)."""
+    which is why this picker admits much larger tiles). int4 tiles charge
+    an extra 2*K*tn for the per-dot nibble-unpack intermediates (the lo/hi
+    s8 planes) — omitting that term VMEM-OOMed the int4-head R=384 config
+    at tn=2560 (measured r4)."""
     scratch = (rows * c_dim * 4             # h residual (f32)
                + rows * max(3 * c_dim, 2 * hidden) * 2   # qkv/h12 (bf16)
                + rows * max(c_dim, hidden) * 2           # stage acts
@@ -1302,6 +1305,8 @@ def _pick_stream_dma_tile(c_dim: int, hidden: int, rows: int,
         if ((5 * c_dim + 2 * hidden) // tn) % 2:
             continue
         weights = 2 * stored_k_max * tn * w_itemsize
+        if int4:
+            weights += 2 * stored_k_max * tn
         if scratch + mods + weights < 112 * 1024 * 1024:
             return tn
     return None
@@ -1315,11 +1320,12 @@ def streamed_dma_available(c_dim: int, rows: int, attention: bool,
     if not attention or c_dim % 128 != 0:
         return False
     hidden = int(c_dim * 1.5) if hidden is None else hidden
-    stored_k_max = (max(c_dim, hidden) // 2 if weight_itemsize == 0.5
+    int4 = weight_itemsize == 0.5
+    stored_k_max = (max(c_dim, hidden) // 2 if int4
                     else max(c_dim, hidden))
     item = 1 if weight_itemsize <= 1 else int(weight_itemsize)
     return _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
-                                 item) is not None
+                                 item, int4=int4) is not None
 
 
 def _fused_em_sample_streamed_dma(
@@ -1337,8 +1343,9 @@ def _fused_em_sample_streamed_dma(
     c_dim = stacked["n2"].shape[-1]
     hidden = stacked["b1"].shape[-1] // 2
     stored_k_max = max(stacked["wqkv"].shape[1], stacked["w2"].shape[1])
+    int4 = 2 * stacked["w1"].shape[1] == c_dim
     tn = _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
-                               stacked["w1"].dtype.itemsize)
+                               stacked["w1"].dtype.itemsize, int4=int4)
     assert tn is not None, (c_dim, hidden, rows)
     assert allmods.shape[2] % (2 * c_dim) == 0, allmods.shape
     fm_block = allmods.shape[2] // (2 * c_dim) - 1
