@@ -235,10 +235,12 @@ def main():
         # int8-KV leads here too: 40L bf16-KV 2-image OOMs on-device
         # (RESOURCE_EXHAUSTED, measured r3) — don't burn a ~8min compile
         # on a config known to die. r4 kernel: 9.75 -> 7.05 s/image at
-        # 2 images; stacked-sampler rung (=0) is the r3-proven fallback.
+        # 2 images, 6.93 at 3 (measured, fits HBM — int4 weights leave
+        # room); stacked-sampler rung (=0) is the r3-proven fallback.
         t2i_14b_full, t2i_cfgs["t2i_14b_full_depth"], \
             t2i_attr["t2i_14b_full_depth"] = run_t2i_ladder(
-                [("int4+2img", base_40 + ["--images", "2"], {}),
+                [("int4+3img", base_40 + ["--images", "3"], {}),
+                 ("int4+2img", base_40 + ["--images", "2"], {}),
                  ("int4+2img+stacked-sampler", base_40 + ["--images", "2"],
                   {"BITDANCE_STREAMED_EM": "0"}),
                  ("int4+int8kv-1img", ["--real-14b", "--layers", "40",
