@@ -61,6 +61,24 @@ pipeline (measured 10.35 vs its ~2.2 traffic model — ~54us/tile vs ~10us;
 each compile is ~134s through the tunnel, budget accordingly); (2) accept
 ~3.9 ms/net-call as the XLA ceiling — the floor is 1.74 MXU + 0.48
 modcat + ~0.5 serial VPU glue ~= 2.8 ms.
+
+r4 RESOLUTION: lever (1) landed as a REWRITE, not a fix — the per-tile
+cost was the Pallas grid machinery itself (27 index maps + revolving-
+buffer bookkeeping per grid step; pre-tiling the weight DMAs to be
+contiguous moved nothing, see probe_tile_dma.py), so the grid-tiled
+kernel was replaced by _fused_em_kernel_streamed_dma: (step, block) grid,
+weights in ANY/HBM, statically unrolled tile loop with explicit
+double-buffered async copies. Measured (bench_streamed_head, R=256,
+em_precompute included): int8 3.353 ms/net-call, int4 3.187 — vs
+stacked XLA 4.627 / 6.706 and the ~2.8 floor. The residual ~0.4 ms is
+the serial VPU glue window (attention + 2 lnmod+quant + GLU, ~80us/block)
+during which the MXU idles; the DMA stream is fully hidden. End-to-end
+(bench_t2i replay): 28L int8 6.80 -> 6.11 s/image (2 img) / 5.74 (3 img,
+MFU 0.699); 40L int4 full depth 9.75 -> 7.05 (2 img) / 6.93 (3 img).
+3-image batches WIN with this kernel (DMA amortizes; the stacked sampler
+measured worse at 3 in r3). Next ceiling, if ever needed: overlap the
+glue with the previous stage's tail dots (software-pipeline the block
+body itself) — bounded by ~0.4 ms/net-call ~= 0.6 s/image at 28L/2img.
 """
 import sys
 import time
