@@ -469,3 +469,26 @@ def test_fused_em_step_chunked_matches_single_shot(variant):
         s0 += c
     np.testing.assert_allclose(np.asarray(x), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_stream_dma_tile_picker_at_flagship_shapes():
+    """Pin the dma-kernel tile choices at the MEASURED flagship configs:
+    every (tile, config) pair here ran on a real v5e in r4 — int8 R=256
+    tn=2560 (3.353 ms/net-call), int8 R=384 tn=1280 (5.74 s/image
+    end-to-end), int4 R=256 tn=2560 (3.187), int4 R=384 tn=1280 (6.93
+    end-to-end; tn=2560 VMEM-OOMed before the unpack-intermediate term
+    was added to the model)."""
+    from bitdance_tpu.ops.fused_head import (
+        _pick_stream_dma_tile,
+        streamed_dma_available,
+    )
+
+    assert _pick_stream_dma_tile(5120, 7680, 256, 7680, 1) == 2560
+    assert _pick_stream_dma_tile(5120, 7680, 384, 7680, 1) == 1280
+    assert _pick_stream_dma_tile(5120, 7680, 256, 3840, 1, int4=True) == 2560
+    assert _pick_stream_dma_tile(5120, 7680, 384, 3840, 1, int4=True) == 1280
+    # availability wrappers agree (weight_itemsize 0.5 == int4-packed)
+    assert streamed_dma_available(5120, 384, True, 7680, 1)
+    assert streamed_dma_available(5120, 384, True, 7680, 0.5)
+    # non-attention heads never stream
+    assert not streamed_dma_available(5120, 384, False, 7680, 1)
