@@ -271,11 +271,14 @@ def main():
         train_5120 = run_json_line_bench(
             "benchmarks.bench_train", "TRAIN_MLLM",
             ["--skip-imagenet", "--mllm-real-width", "--mllm-layers", "2",
-             "--mllm-budget", "8192", "--steps", "4", "--bf16-state"],
+             "--head-blocks", "2", "--mllm-budget", "8192", "--steps", "4",
+             "--bf16-state"],
             timeout_s=1200)
+        # b128: b256 HLO-temp-OOMs the remat'd train step (measured r4);
+        # the serving bench runs b256 because inference has no adamw state
         train_imgnet = run_json_line_bench(
             "benchmarks.bench_train", "TRAIN_IMAGENET",
-            ["--skip-mllm", "--imagenet-batch", "256", "--steps", "4"],
+            ["--skip-mllm", "--imagenet-batch", "128", "--steps", "4"],
             timeout_s=900)
 
     from bitdance_tpu.utils.compile_cache import enable_persistent_cache
@@ -444,14 +447,14 @@ def main():
             "t2i_14b_geom_s_per_image", t2i_14b)
         result["t2i_14b_geom_config"] = (
             "5120d LLM 28/40 layers + full 14B head, int8 W8A8, "
-            f"2-image batch [{t2i_cfgs.get('t2i_14b_geom')}]")
+            f"dma head kernel [{t2i_cfgs.get('t2i_14b_geom')}]")
         # the full-depth model on one chip (packed int4 weights)
         result["t2i_14b_full_depth_s_per_image"] = t2i_14b_full
         result["t2i_14b_full_depth_vs_baseline"] = vs_prior(
             "t2i_14b_full_depth_s_per_image", t2i_14b_full)
         result["t2i_14b_full_depth_config"] = (
             "COMPLETE 40-layer 5120d LLM + full 14B head, packed int4 "
-            f"W4A8, 2-image batch [{t2i_cfgs.get('t2i_14b_full_depth')}]")
+            f"W4A8, dma head kernel [{t2i_cfgs.get('t2i_14b_full_depth')}]")
         # 16x variant (64x-vs-16x speed shape, reference README.md:78,182)
         for k, v in t2i_16x.items():
             result[f"{k}_s_per_image"] = v

@@ -205,12 +205,16 @@ def bench_mllm(args):
     if args.bf16_state:
         # bf16 param STORAGE (flax inits keep f32 storage for the head /
         # projector): adamw moments then follow at bf16 too, 6 bytes/param
-        # total instead of 12-16 — the only way the 5120-wide head's 1.57B
-        # params train on one 16GB chip. The production 14B contract
-        # shards f32 state over 64-chip FSDP instead (bitdance_14b_64x).
-        params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, params)
+        # total instead of 12-16 — the only way the 5120-wide head's
+        # billions of params train on one 16GB chip. The production 14B
+        # contract shards f32 state over 64-chip FSDP instead
+        # (bitdance_14b_64x). Cast leaf-by-leaf with donation: a whole-tree
+        # astype holds the f32 AND bf16 trees simultaneously (~15GB at
+        # real width) and HLO-temp-OOMs before the first step.
+        flat, treedef = jax.tree_util.tree_flatten(params)
+        cast = jax.jit(lambda a: a.astype(jnp.bfloat16), donate_argnums=0)
+        flat = [cast(x) if x.dtype == jnp.float32 else x for x in flat]
+        params = jax.tree_util.tree_unflatten(treedef, flat)
     tx = make_tx(params, tcfg)
     state = make_state(params, tx, tcfg)
 
