@@ -1071,7 +1071,8 @@ def _fused_em_kernel_streamed_dma(
     *rest,
     num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
     groups: int, bounded: bool, last_step_size: float, quant: bool,
-    tn: int, hidden: int, final_chunk: bool = True, eps: float = 1e-6,
+    tn: int, hidden: int, n_buf: int = 2, final_chunk: bool = True,
+    eps: float = 1e-6,
 ):
     """MANUAL-DMA twin of _fused_em_kernel_streamed.
 
@@ -1130,7 +1131,10 @@ def _fused_em_kernel_streamed_dma(
     plan = ([("A", t) for t in range(t_q)] + [("B", t) for t in range(t_o)]
             + [("C", t) for t in range(t_1)] + [("D", t) for t in range(t_2)])
     n_tiles = len(plan)
-    assert n_tiles % 2 == 0, "tile count must be even (slot 0 alignment)"
+    # slot of tile i is statically i % n_buf; cross-grid-step consistency
+    # (the previous step's tail prefetches the next step's first tiles into
+    # the slots its warmup would use) requires n_tiles % n_buf == 0
+    assert n_tiles % n_buf == 0, (n_tiles, n_buf)
 
     def dma(slot, stage, li, t):
         w_hbm, _ = stages[stage]
@@ -1182,7 +1186,8 @@ def _fused_em_kernel_streamed_dma(
     @pl.when((s == 0) & (l == 0))
     def _init():
         x_vm[...] = x0_ref[...].astype(jnp.float32)
-        dma(0, "A", 0, 0).start()
+        for j in range(n_buf - 1):                           # warmup fill
+            dma(j, plan[j][0], 0, plan[j][1]).start()
 
     @pl.when(l == 0)
     def _proj_in():
@@ -1199,15 +1204,19 @@ def _fused_em_kernel_streamed_dma(
     stage_quant(lnmod(n1_ref[0], m0[:, :c_dim], m0[:, c_dim:]))
 
     for i, (stage, t) in enumerate(plan):
-        slot = i % 2
-        # keep the weight stream one tile ahead of the MXU
-        if i + 1 < n_tiles:
-            n_stage, n_t = plan[i + 1]
-            dma((i + 1) % 2, n_stage, l, n_t).start()
+        slot = i % n_buf
+        # keep the weight stream n_buf-1 tiles ahead of the MXU
+        j = i + n_buf - 1
+        if j < n_tiles:
+            n_stage, n_t = plan[j]
+            dma(j % n_buf, n_stage, l, n_t).start()
         else:
+            n_stage, n_t = plan[j - n_tiles]
+
             @pl.when(not_last)
-            def _prefetch_next_block():
-                dma(0, "A", nxt_l, 0).start()
+            def _prefetch_next_block(n_stage=n_stage, n_t=n_t,
+                                     slot_j=j % n_buf):
+                dma(slot_j, n_stage, nxt_l, n_t).start()
         w_hbm, k_dim = stages[stage]
         k_st = w_hbm.shape[1]
         dma(stage=stage, slot=slot, li=l, t=t).wait()
@@ -1284,7 +1293,7 @@ def _fused_em_kernel_streamed_dma(
 
 def _pick_stream_dma_tile(c_dim: int, hidden: int, rows: int,
                           stored_k_max: int, w_itemsize: int = 1,
-                          int4: bool = False) -> int | None:
+                          int4: bool = False, n_buf: int = 2) -> int | None:
     """Largest weight-column tile for the manual-DMA streamed kernel:
     must divide every stage width (3C, C, 2H), give an EVEN total tile
     count (so the double-buffer slot of each grid step's first tile is
@@ -1302,9 +1311,9 @@ def _pick_stream_dma_tile(c_dim: int, hidden: int, rows: int,
     for tn in (2560, 2048, 1280, 1024, 640, 512, 256, 128):
         if c_dim % tn or (2 * hidden) % tn:
             continue
-        if ((5 * c_dim + 2 * hidden) // tn) % 2:
+        if ((5 * c_dim + 2 * hidden) // tn) % n_buf:
             continue
-        weights = 2 * stored_k_max * tn * w_itemsize
+        weights = n_buf * stored_k_max * tn * w_itemsize
         if int4:
             weights += 2 * stored_k_max * tn
         if scratch + mods + weights < 112 * 1024 * 1024:
@@ -1344,8 +1353,15 @@ def _fused_em_sample_streamed_dma(
     hidden = stacked["b1"].shape[-1] // 2
     stored_k_max = max(stacked["wqkv"].shape[1], stacked["w2"].shape[1])
     int4 = 2 * stacked["w1"].shape[1] == c_dim
+    # BITDANCE_DMA_SLOTS>2 trades tile width for issue-ahead depth: extra
+    # in-flight tiles cover the DMA-idle window during the serial stage-end
+    # glue (attention / lnmod / GLU). A/B knob for bench_streamed_head.
+    import os
+
+    n_buf = int(os.environ.get("BITDANCE_DMA_SLOTS", "2"))
     tn = _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
-                               stacked["w1"].dtype.itemsize, int4=int4)
+                               stacked["w1"].dtype.itemsize, int4=int4,
+                               n_buf=n_buf)
     assert tn is not None, (c_dim, hidden, rows)
     assert allmods.shape[2] % (2 * c_dim) == 0, allmods.shape
     fm_block = allmods.shape[2] // (2 * c_dim) - 1
@@ -1403,15 +1419,16 @@ def _fused_em_sample_streamed_dma(
     if quant:
         scratch.append(pltpu.VMEM((rows, 128), jnp.float32))  # row scales
     scratch += [
-        pltpu.VMEM((2, stored_k_max, tn), stacked["w1"].dtype),  # wt tiles
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((n_buf, stored_k_max, tn), stacked["w1"].dtype),
+        pltpu.SemaphoreType.DMA((n_buf,)),
     ]
 
     kernel = functools.partial(
         _fused_em_kernel_streamed_dma, num_blocks=num_blocks,
         num_steps=num_steps, switch_freq=switch_freq, n_head=n_head,
         groups=groups, bounded=bounded, last_step_size=last_step_size,
-        quant=quant, tn=tn, hidden=hidden, final_chunk=final_chunk)
+        quant=quant, tn=tn, hidden=hidden, n_buf=n_buf,
+        final_chunk=final_chunk)
 
     return pl.pallas_call(
         kernel,
