@@ -79,6 +79,13 @@ MFU 0.699); 40L int4 full depth 9.75 -> 7.05 (2 img) / 6.93 (3 img).
 measured worse at 3 in r3). Next ceiling, if ever needed: overlap the
 glue with the previous stage's tail dots (software-pipeline the block
 body itself) — bounded by ~0.4 ms/net-call ~= 0.6 s/image at 28L/2img.
+r4 follow-up: BITDANCE_DMA_SLOTS=4 (4-slot scratch, 3-deep issue chain,
+tn 2560->1280) measured 3.304 vs 3.353 ms/net-call at R=256 int8 — the
+glue-window DMA idle is real but small, and at R=384 (the 3-image ladder
+leaders) the mods double-buffers leave no VMEM for a deeper stream at a
+usable tile, so the default stays 2 slots. 3.304 - 0.51 precompute =
+2.79 ms: the kernel sits AT the 2.8 ms floor; further gains must come
+from shrinking the floor's glue term itself.
 """
 import sys
 import time
