@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--ch", type=int, default=256)
     ap.add_argument("--res-blocks", type=int, default=4)
+    ap.add_argument("--z", type=int, default=32,
+                    help="latent channels (reference family: 32 for "
+                         "d16c32, 128/256 for the 32x-downsample "
+                         "ae_d32c128/ae_d32c256 variants, README.md:67-69)")
+    ap.add_argument("--ch-mult", type=str, default="1,1,2,2,4",
+                    help="comma-separated; 6 entries = 32x downsample")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--vae-int8", action=argparse.BooleanOptionalAction,
                     default=True,
@@ -61,12 +67,14 @@ def main():
                          "56.1 TFLOP/s bf16 at the decoder trunk shape)")
     args = ap.parse_args()
 
-    dd = dict(z_channels=32, in_channels=3, out_ch=3, ch=args.ch,
-              ch_mult=[1, 1, 2, 2, 4], num_res_blocks=args.res_blocks)
+    ch_mult = [int(m) for m in args.ch_mult.split(",")]
+    down = 2 ** (len(ch_mult) - 1)
+    dd = dict(z_channels=args.z, in_channels=3, out_ch=3, ch=args.ch,
+              ch_mult=ch_mult, num_res_blocks=args.res_blocks)
     model = VQModel(ddconfig=dd, dtype=jnp.bfloat16, conv_int8=args.vae_int8)
     x0 = jnp.zeros((args.batch, args.res, args.res, 3), jnp.bfloat16)
-    lat = args.res // 16
-    z0 = jnp.zeros((args.batch, lat, lat, 32), jnp.bfloat16)
+    lat = args.res // down
+    z0 = jnp.zeros((args.batch, lat, lat, args.z), jnp.bfloat16)
 
     enc_params = jax.jit(
         lambda k, x: model.init(k, x, method=VQModel.encode_raw)
@@ -96,7 +104,8 @@ def main():
         "enc_dec_imgs_per_sec": round(args.batch / t_rt, 1),
         "enc_ms_per_batch": round(t_enc * 1e3, 2),
         "dec_ms_per_batch": round(t_dec * 1e3, 2),
-        "config": f"d16c32 ch{args.ch} rb{args.res_blocks} {args.res}px "
+        "config": f"d{down}c{args.z} ch{args.ch} rb{args.res_blocks} "
+                  f"{args.res}px "
                   f"b{args.batch} bf16"
                   + (" int8-conv" if args.vae_int8 else ""),
     }
