@@ -150,4 +150,60 @@ print("streamed EM kernel vs stacked XLA sampler rel err:", round(rel_s, 5))
 assert np.isfinite(o_streamed).all()
 assert rel_s < 0.05, rel_s  # bf16 elementwise noise over 6 EM steps
 
+# --- 6. Interleaved any-to-any pipeline (two KV streams, CFG pairing) -------
+from bitdance_tpu.pipelines.interleaved import InterleavedGenerator, PlanItem
+from tests.test_t2i_pipeline import StubTokenizer, _tiny_bundle
+
+
+class _Tok(StubTokenizer):
+    def __init__(self):
+        super().__init__()
+        for i, t in enumerate(("<|im_start|>", "<|im_end|>",
+                               "<|vision_end|>")):
+            self.special[t] = 190 + i
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+_b = _tiny_bundle(parallel_num=4, z=8, hidden=64)
+_gen = InterleavedGenerator(_b, _Tok(), max_seq_len=256)
+_rng = np.random.default_rng(0)
+_plan = [
+    PlanItem(type="text", source="user",
+             text="<|im_start|>user\ndraw<|im_end|>\n"),
+    PlanItem(type="image", source="user",
+             image=_rng.normal(size=(8, 8, 3)).astype(np.float32)),
+    PlanItem(type="text", source="model"),
+    PlanItem(type="image", source="model", image_size=(8, 8)),
+]
+_t0 = time.time()
+_out = _gen.generate(_plan, cfg_scale=2.0, sample_steps=2,
+                     max_length_text=3, seed=0)
+assert len(_out["generated_text"]) == 1 and len(_out["generated_image"]) == 1
+assert _out["generated_image"][0].shape == (8, 8, 3)
+assert np.isfinite(_out["generated_image"][0]).all()
+_spans = {n for n, *_ in _gen.last_spans}
+assert _spans == {"cond", "uncond"}, _spans
+print(f"interleaved plan (text+image gen, 2 KV streams) ran in "
+      f"{time.time()-_t0:.1f}s")
+
+# --- 7. UniWeTok tokenizer roundtrip (registers + 2D RoPE mid-attention) ----
+from bitdance_tpu.models.tokenizer_uni import UniVQModel
+
+_udd = dict(z_channels=8, in_channels=3, out_ch=3, ch=32, ch_mult=[1, 2],
+            num_res_blocks=1, attn_blocks=1, n_heads=4)
+_uni = UniVQModel(ddconfig=_udd)
+_ux = jax.random.uniform(jax.random.PRNGKey(31), (1, 32, 32, 3)) * 2 - 1
+_up = jax.jit(lambda k, x: _uni.init(k, x, noise_rng=jax.random.PRNGKey(32))
+              )(jax.random.PRNGKey(33), _ux)
+_uq = jax.jit(lambda p, x: _uni.apply(p, x, method=UniVQModel.encode)
+              )(_up, _ux)
+assert set(np.unique(np.asarray(_uq))) <= {-1.0, 1.0}
+_ur = jax.jit(lambda p, q: _uni.apply(p, q, method=UniVQModel.decode,
+                                      noise_rng=jax.random.PRNGKey(34))
+              )(_up, _uq)
+assert np.isfinite(np.asarray(_ur)).all()
+print("UniWeTok encode/decode on TPU:", _uq.shape, "->", _ur.shape)
+
 print("ALL DRIVES PASSED ON", jax.default_backend().upper())
