@@ -1497,7 +1497,11 @@ def fused_em_sample(
                        for k in weight_keys)
     # whole-head weights resident in VMEM when they fit (e.g. 31MB at the
     # 768-wide imagenet heads): eliminates the per-(step, block) weight
-    # re-streaming (~3.2GB per 100-step sample) and 6x the grid steps
+    # re-streaming (~3.2GB per 100-step sample) and 6x the grid steps.
+    # Threshold is measurement-backed: raising it to 80MB to make the 54MB
+    # int8 0.7B-class T2I head resident REGRESSED end-to-end (0.78 -> 0.85
+    # s/image, r4) — at that occupancy the unrolled 6-block body loses more
+    # to VMEM pressure than the 306-step grid costs.
     if resident is None:
         resident = weight_bytes <= 48 * 1024 * 1024
     if resident:
