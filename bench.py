@@ -223,6 +223,12 @@ def main():
                  ("int8+2img", base_28 + ["--images", "2"], {}),
                  ("int8+2img+stacked-sampler", base_28 + ["--images", "2"],
                   {"BITDANCE_STREAMED_EM": "0"}),
+                 # no-cache rung: a poisoned persistent-cache entry
+                 # surfaced as an async InvalidArgument in r4 (fresh
+                 # compile of the identical config passed) — never let a
+                 # stale cache null this metric family
+                 ("int8+3img+nocache", base_28 + ["--images", "3"],
+                  {"BITDANCE_COMPILE_CACHE": "0"}),
                  ("int8+bf16kv-1img", ["--real-14b", "--layers", "28",
                                        "--quant-llm", "--quant-head",
                                        "--images", "1"], {})],
@@ -243,6 +249,9 @@ def main():
                  ("int4+2img", base_40 + ["--images", "2"], {}),
                  ("int4+2img+stacked-sampler", base_40 + ["--images", "2"],
                   {"BITDANCE_STREAMED_EM": "0"}),
+                 # cache-poisoning insurance (see the geom ladder comment)
+                 ("int4+3img+nocache", base_40 + ["--images", "3"],
+                  {"BITDANCE_COMPILE_CACHE": "0"}),
                  ("int4+int8kv-1img", ["--real-14b", "--layers", "40",
                                        "--quant-llm-int4", "--head-int4",
                                        "--kv-int8", "--images", "1"], {})],
