@@ -483,17 +483,21 @@ def main():
             else (1.0 if v else None))
         result["tokenizer_attribution"] = tok
     if not (args.quick or args.skip_train):
-        def train_keys(prefix, rec, value_key):
+        def train_keys(prefix, rec, value_key, legacy_key=None):
             val = rec.get(value_key) if rec else None
             result[f"{prefix}_{value_key}"] = val
             prev_t = prior_value(None, key=f"{prefix}_{value_key}")
+            if prev_t is None and legacy_key:
+                # r2/r3 recorded this metric under a different key name
+                prev_t = prior_value(None, key=legacy_key)
             result[f"{prefix}_vs_baseline"] = (
                 round(val / prev_t, 4) if (val and prev_t)
                 else (1.0 if val else None))
             if rec:
                 result[f"{prefix}_attribution"] = rec
 
-        train_keys("mllm_train_33k", train_mllm, "tokens_per_sec_per_chip")
+        train_keys("mllm_train_33k", train_mllm, "tokens_per_sec_per_chip",
+                   legacy_key="mllm_train_33k_tokens_per_sec")
         train_keys("mllm_train_5120d", train_5120, "tokens_per_sec_per_chip")
         train_keys("imagenet_train", train_imgnet, "imgs_per_sec_per_chip")
         # continuity with the r2/r3 key name

@@ -62,9 +62,12 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--vae-int8", action=argparse.BooleanOptionalAction,
                     default=True,
-                    help="W8A8 int8 trunk convs (same serving config as the "
-                         "imagenet/t2i benches; measured 70.3 Tops/s s8 vs "
-                         "56.1 TFLOP/s bf16 at the decoder trunk shape)")
+                    help="W8A8 int8 DECODER trunk convs (the serving path "
+                         "the imagenet/t2i benches quantize; measured 70.3 "
+                         "Tops/s s8 vs 56.1 TFLOP/s bf16 at the decoder "
+                         "trunk shape). The encoder always runs bf16 — "
+                         "VQModel plumbs conv_int8 to the Decoder only, so "
+                         "enc_imgs_per_sec is a bf16 number either way")
     args = ap.parse_args()
 
     ch_mult = [int(m) for m in args.ch_mult.split(",")]
@@ -107,7 +110,7 @@ def main():
         "config": f"d{down}c{args.z} ch{args.ch} rb{args.res_blocks} "
                   f"{args.res}px "
                   f"b{args.batch} bf16"
-                  + (" int8-conv" if args.vae_int8 else ""),
+                  + (" int8-dec-conv" if args.vae_int8 else ""),
     }
     print("TOKENIZER " + json.dumps(result))
     print(f"encode {args.batch/t_enc:8.1f} imgs/s | decode "

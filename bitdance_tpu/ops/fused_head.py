@@ -1362,6 +1362,14 @@ def _fused_em_sample_streamed_dma(
     tn = _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
                                stacked["w1"].dtype.itemsize, int4=int4,
                                n_buf=n_buf)
+    if tn is None and n_buf != 2:
+        # the requested slot depth has no dividing tile count at this
+        # geometry (e.g. DMA_SLOTS=3 at 14B: every tile count is a power
+        # of two times 5) — availability/routing checked n_buf=2, so
+        # degrade to it rather than aborting the serving trace
+        n_buf = 2
+        tn = _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
+                                   stacked["w1"].dtype.itemsize, int4=int4)
     assert tn is not None, (c_dim, hidden, rows)
     assert allmods.shape[2] % (2 * c_dim) == 0, allmods.shape
     fm_block = allmods.shape[2] // (2 * c_dim) - 1
@@ -1532,8 +1540,13 @@ def fused_em_sample(
             last_step_size=last_step_size, quant=quant,
             num_steps=num_steps, interpret=interpret,
             final_chunk=final_chunk)
-        if streamed != "tiled" and streamed_dma_available(
-                c_dim, rows, attention, hidden, w_item):
+        dma_ok = streamed_dma_available(c_dim, rows, attention, hidden,
+                                        w_item)
+        # an EXPLICIT dma request must never silently measure the tiled
+        # kernel under the dma label (A/B integrity)
+        assert not (streamed == "dma" and not dma_ok), \
+            ("streamed='dma' requested but infeasible", c_dim, rows, hidden)
+        if streamed != "tiled" and dma_ok:
             return _fused_em_sample_streamed_dma(
                 stacked, x0, noise, allmods, t_all, dt_all, cfg,
                 **stream_kw)

@@ -33,7 +33,13 @@ Deliberate deviations from the reference (documented, not accidental):
     double-feeding them into the next model span (mllm.py:758-800). We keep
     the full generated image in both caches exactly once.
 
-Host drives the item loop; each span runs as jitted device steps.
+Host drives the item loop; each span runs as jitted device steps. The two
+KV streams advance as sequential batch-1 forwards — mirroring the
+reference's separate past_key_values / past_key_values_un passes — so CFG
+decode pays ~2x single-stream latency; batching them into one 2-row
+forward needs the unequal-context-length machinery of t2i.py's prefill
+(left-padded rows + per-row kv_start) and is the known latency lever if
+this path ever becomes hot.
 """
 
 from __future__ import annotations
