@@ -1,23 +1,72 @@
-"""Benchmark: ImageNet-256 class-conditional sampling throughput on one chip.
+"""Benchmark orchestrator: one JSON line with every recorded metric family.
 
-Workload = BASELINE.json config 3 (imagenet_gen sample_ddp.py): BitDance-B
-(242M AR + diffusion head + conv decoder), 256px, 256 AR steps with KV cache,
-100 diffusion steps/token, cfg 4.6 linear schedule — full pipeline through
-VAE decode. Prints ONE JSON line. No reference wall-clock numbers are
-published (BASELINE.json "published": {}), so vs_baseline is reported
-against the driver-recorded history (1.0 on first run).
+Headline = ImageNet-256 class-conditional sampling throughput (BASELINE.json
+config 3); alongside it the T2I flagship ladders (0.7B, 14B-width, 14B
+full-depth, 16x variants), tokenizer throughput, and three train-step
+families. No reference wall-clock numbers are published (BASELINE.json
+"published": {}), so vs_baseline is reported against the driver-recorded
+history (1.0 on first run).
 
-Usage: python bench.py [--quick] [--batch N] [--model B|L|H] [--parallel P]
+Round-5 restructure (BENCH_r04 rc=124 postmortem — the suite exceeded the
+driver's wall clock and, because results printed only once at the end,
+recorded NOTHING):
+  * a GLOBAL DEADLINE (--budget-s / BITDANCE_BENCH_BUDGET, default 3000s):
+    every subprocess timeout is capped by the time remaining, families that
+    can't fit are skipped with a "skipped(deadline)" config note, and the
+    final JSON ALWAYS prints with rc=0 inside the budget;
+  * the headline imagenet metric runs FIRST (it is also the cheapest);
+  * every family runs in a child process (one TPU client at a time — this
+    process never claims the device), and after each family the cumulative
+    result is flushed to stderr (`PARTIAL ...`) and to BENCH_PARTIAL.json
+    on disk, so even a hard kill preserves everything measured so far;
+  * stdout still carries exactly ONE final JSON line (the r1-r3 contract);
+    a SIGTERM also triggers a best-effort dump of the cumulative JSON;
+  * the no-cache insurance rungs (cache-poisoning postmortem, r4) run only
+    when enough budget remains for their ~1100s cold compile.
+
+Usage: python bench.py [--quick] [--budget-s N] [--batch N] [--model B|L|H]
 """
 
 import argparse
 import glob
 import json
 import os
+import signal
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+# global deadline state (set in main); RESULT is dumped on SIGTERM
+DEADLINE = None
+RESULT = {}
+
+
+def remaining():
+    return DEADLINE - time.monotonic() if DEADLINE else 1e9
+
+
+def emit_partial(stage):
+    """Flush the cumulative result after every metric family: stderr is
+    unbuffered so the line survives a timeout kill in the driver's captured
+    tail, and BENCH_PARTIAL.json survives on disk either way."""
+    line = json.dumps(RESULT)
+    print(f"PARTIAL after {stage} (remaining {int(remaining())}s): {line}",
+          file=sys.stderr, flush=True)
+    try:
+        with open(os.path.join(REPO, "BENCH_PARTIAL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def _term_handler(signum, frame):
+    # best effort: if the driver's timeout fires anyway, put the cumulative
+    # JSON on stdout before dying so the captured tail still has the data
+    try:
+        print(json.dumps(RESULT), flush=True)
+    finally:
+        os._exit(0)
 
 
 def prior_value(metric: str, key: str = None):
@@ -41,40 +90,61 @@ def prior_value(metric: str, key: str = None):
     return found
 
 
+def probe_grant():
+    # a crashed TPU client wedges the device grant for ~2-3 min; every
+    # new client then hangs on its first op. Probe with a trivial
+    # matmul before the next attempt so the wait doesn't eat the
+    # attempt's own timeout (measured: 158s recovery).
+    import subprocess
+
+    for _ in range(2):
+        tmo = min(300.0, max(30.0, remaining() - 30.0))
+        if remaining() < 60:
+            return
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones((128,128)))))"],
+                cwd=REPO, env=dict(os.environ), capture_output=True,
+                text=True, timeout=tmo)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+
+
 def run_t2i_ladder(ladder, timeout_s=480):
-    """Run benchmarks/bench_t2i.py configs in a child process (BEFORE this
-    process claims the TPU — one TPU client at a time) and parse s/image.
+    """Run benchmarks/bench_t2i.py configs in a child process (one TPU
+    client at a time) and parse s/image.
 
     `ladder` is a list of (label, extra_args, env_overrides) tried IN ORDER
     until one produces a number: the escalation steps are materially
     different configs (streamed-EM kernel off, int8 KV cache, one-program
     trace), so a fault in the fast path still records a (slower) flagship
-    number instead of null (VERDICT r2 ask #2). Returns
-    (s_per_image, label, attribution_dict) or (None, None, None)."""
+    number instead of null (VERDICT r2 ask #2). Every attempt's timeout is
+    capped by the global deadline; rungs that can't fit are skipped.
+    Returns (s_per_image, label, attribution_dict) or (None, None, None)."""
     import re
     import subprocess
 
-    def probe_grant():
-        # a crashed TPU client wedges the device grant for ~2-3 min; every
-        # new client then hangs on its first op. Probe with a trivial
-        # matmul before the next ladder attempt so the wait doesn't eat
-        # the attempt's own timeout (measured: 158s recovery).
-        for _ in range(2):
-            try:
-                r = subprocess.run(
-                    [sys.executable, "-c",
-                     "import jax, jax.numpy as jnp;"
-                     "print(float(jnp.sum(jnp.ones((128,128)))))"],
-                    cwd=REPO, env=dict(os.environ), capture_output=True,
-                    text=True, timeout=300)
-                if r.returncode == 0:
-                    return
-            except subprocess.TimeoutExpired:
-                pass
-
-    # probe before every attempt: a previous ladder step (or an earlier
-    # metric's crashed run) may have wedged the grant
     for label, extra_args, env_over in ladder:
+        # a no-cache rung cold-compiles the full program (~1100s for the
+        # 14B configs through the tunnel): only worth attempting with a
+        # comfortable budget, never under deadline pressure
+        if env_over.get("BITDANCE_COMPILE_CACHE") == "0" \
+                and remaining() < 1500:
+            print(f"# t2i bench [{label}]: skipped(deadline) — no-cache "
+                  f"rung needs >1500s, {int(remaining())}s left",
+                  file=sys.stderr, flush=True)
+            continue
+        tmo = min(float(timeout_s), remaining() - 45.0)
+        if tmo < 120:
+            print(f"# t2i bench [{label}]: skipped(deadline) — "
+                  f"{int(remaining())}s left", file=sys.stderr, flush=True)
+            continue
+        # probe before every attempt: a previous ladder step (or an earlier
+        # metric's crashed run) may have wedged the grant
         probe_grant()
         # keep the environment intact: the axon PJRT plugin is registered
         # by sitecustomize.py on PYTHONPATH (/root/.axon_site) — removing
@@ -86,10 +156,10 @@ def run_t2i_ladder(ladder, timeout_s=480):
                 [sys.executable, "-m", "benchmarks.bench_t2i", "--iters", "2"]
                 + extra_args,
                 cwd=REPO, env=env, capture_output=True, text=True,
-                timeout=timeout_s)
+                timeout=tmo)
         except subprocess.TimeoutExpired:
             print(f"# t2i bench [{label}] {extra_args}: timeout after "
-                  f"{timeout_s}s", file=sys.stderr)
+                  f"{int(tmo)}s", file=sys.stderr, flush=True)
             continue
         m = re.search(r"([0-9.]+) s/image", r.stdout)
         if m:
@@ -103,23 +173,34 @@ def run_t2i_ladder(ladder, timeout_s=480):
             return float(m.group(1)), label, attribution
         tail = "\n".join((r.stdout + "\n" + r.stderr).strip().splitlines()[-8:])
         print(f"# t2i bench [{label}] {extra_args}: rc={r.returncode}, "
-              f"no s/image in output; tail:\n{tail}", file=sys.stderr)
+              f"no s/image in output; tail:\n{tail}", file=sys.stderr,
+              flush=True)
     return None, None, None
 
 
-def run_json_line_bench(module, marker, extra_args=None, timeout_s=600):
+def run_json_line_bench(module, marker, extra_args=None, timeout_s=600,
+                        probe=True):
     """Run a benchmarks/ module in a child process and parse its
-    `MARKER {json}` line. Returns the parsed dict or None."""
+    `MARKER {json}` line. Timeout capped by the global deadline.
+    Returns the parsed dict or None."""
     import re
     import subprocess
 
+    tmo = min(float(timeout_s), remaining() - 45.0)
+    if tmo < 120:
+        print(f"# {module}: skipped(deadline) — {int(remaining())}s left",
+              file=sys.stderr, flush=True)
+        return None
+    if probe:
+        probe_grant()
     try:
         r = subprocess.run(
             [sys.executable, "-m", module] + (extra_args or []),
             cwd=REPO, env=dict(os.environ), capture_output=True, text=True,
-            timeout=timeout_s)
+            timeout=tmo)
     except subprocess.TimeoutExpired:
-        print(f"# {module}: timeout after {timeout_s}s", file=sys.stderr)
+        print(f"# {module}: timeout after {int(tmo)}s", file=sys.stderr,
+              flush=True)
         return None
     m = re.search(rf"^{marker} (.*)$", r.stdout, re.MULTILINE)
     if m:
@@ -129,384 +210,239 @@ def run_json_line_bench(module, marker, extra_args=None, timeout_s=600):
             pass
     tail = "\n".join((r.stdout + "\n" + r.stderr).strip().splitlines()[-8:])
     print(f"# {module}: rc={r.returncode}, no {marker} line; tail:\n{tail}",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
     return None
 
 
 def main():
+    global DEADLINE
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small shapes to smoke-test the bench path")
+    ap.add_argument("--budget-s", type=float,
+                    default=float(os.environ.get("BITDANCE_BENCH_BUDGET",
+                                                 "3000")),
+                    help="global wall-clock budget; families that can't fit "
+                         "are skipped so the final JSON always prints")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--model", type=str, default="BitDance-B")
     ap.add_argument("--parallel", type=int, default=1)
-    ap.add_argument("--sample-steps", type=int, default=100)
-    ap.add_argument("--cfg-scale", type=float, default=4.6)
-    ap.add_argument("--iters", type=int, default=2)
-    ap.add_argument("--decode-chunk", type=int, default=32,
-                    help="VAE decode chunk (model.py:378-387 decode_in_chunks)")
     ap.add_argument("--skip-t2i", action="store_true",
                     help="skip the T2I flagship measurements")
     ap.add_argument("--skip-train", action="store_true",
                     help="skip the packed-MLLM train-step measurement")
-    ap.add_argument("--kv-int8", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="int8 KV ring buffer (serving config; halves "
-                         "decode-attention HBM traffic and cache footprint)")
-    ap.add_argument("--head-int8", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="W8A8 int8 fused head sampler (serving config; the "
-                         "MXU int8 rate is ~2x bf16, worth ~8%% end-to-end "
-                         "now that the 1x MLP head runs the whole-sampler "
-                         "resident kernel)")
-    ap.add_argument("--vae-int8", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="W8A8 int8 trunk convs in the VAE decoder "
-                         "(models/tokenizer.py::Conv2D). Measured on the "
-                         "v5e: 70.3 Tops/s s8 vs 56.1 TFLOP/s bf16 at the "
-                         "decoder's trunk conv shape; b256 decode "
-                         "2.24 -> 1.84 s (benchmarks/probe_imagenet_decode)")
-    ap.add_argument("--backbone-int8", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="W8A8 int8 AR backbone matmuls (serving config; "
-                         "measured 32.9 -> 34.5 img/s at b256: the decode "
-                         "matmuls are MXU-rate-bound at M=512 rows and the "
-                         "s8 MXU path doubles the rate; "
-                         "models/imagenet_ar.py::quantize_ar_params)")
-    args = ap.parse_args()
+    args, passthrough = ap.parse_known_args()
 
-    # T2I measurements run first, in child processes, so the TPU is free
-    # when this process starts the imagenet benchmark (one client at a time)
-    t2i = t2i_14b = t2i_14b_full = None
-    t2i_cfgs = {}
+    DEADLINE = time.monotonic() + args.budget_s
+    signal.signal(signal.SIGTERM, _term_handler)
+
+    metric = f"imagenet256_{args.model}_{args.parallel}x_images_per_sec_per_chip"
+    RESULT.update({
+        "metric": metric,
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+    })
+
+    # ---- family 1: the headline imagenet metric, FIRST (also cheapest) ----
+    imgnet_args = (["--batch", str(args.batch), "--model", args.model,
+                    "--parallel", str(args.parallel)]
+                   + (["--quick"] if args.quick else []) + passthrough)
+    rec = run_json_line_bench("benchmarks.bench_imagenet", "IMAGENET",
+                              imgnet_args,
+                              timeout_s=600 if args.quick else 900)
+    if rec and isinstance(rec.get("imgs_per_sec"), (int, float)):
+        prev = prior_value(metric)
+        RESULT["value"] = rec["imgs_per_sec"]
+        # no published reference wall-clock exists (BASELINE.json
+        # "published": {}), so the baseline is the last driver-recorded
+        # round: a regression shows up as vs_baseline < 1.
+        RESULT["vs_baseline"] = (round(rec["imgs_per_sec"] / prev, 4)
+                                 if prev else 1.0)
+        RESULT["config"] = rec.get("config")
+    emit_partial("imagenet")
+
+    if args.quick:
+        print(json.dumps(RESULT))
+        print(f"# quick bench, budget {args.budget_s:.0f}s, "
+              f"{int(remaining())}s unused", file=sys.stderr, flush=True)
+        return
+
+    def vs_prior(key, val):
+        # s/image: LOWER is better, so vs_baseline = prior / current
+        prev = prior_value(None, key=key)
+        if prev and val:
+            return round(prev / val, 4)
+        return 1.0 if val else None
+
     t2i_attr = {}
-    t2i_16x = {}
-    if not (args.quick or args.skip_t2i):
+
+    # ---- family 2: T2I 0.7B flagship (1024px, p=64) ----
+    if not args.skip_t2i:
         # int8 serving config leads (measured 1.16 vs 1.35 s/image bf16);
-        # --vae-int8 joins it in r4 (VERDICT r3 ask #4: VAE was 32% of the
-        # 1024px wall and the int8 conv path was measured but unwired);
-        # bf16 one-program is the escalation fallback
-        t2i, t2i_cfgs["t2i_1024px"], t2i_attr["t2i_1024px"] = run_t2i_ladder(
+        # --vae-int8 joins it in r4 (VERDICT r3 ask #4); bf16 one-program
+        # is the escalation fallback
+        t2i, lbl, t2i_attr["t2i_1024px"] = run_t2i_ladder(
             [("int8+int8vae",
               ["--quant-llm", "--quant-head", "--kv-int8", "--vae-int8"], {}),
              ("bf16", [], {}),
              ("bf16+one-program", [], {"BITDANCE_ONE_PROGRAM": "1"})],
             timeout_s=900)
-        # 16x model variant (reference ships 14B-16x alongside 64x and
-        # claims 64x ~3x faster, README.md:78,182): same 0.7B-class
-        # geometry as t2i_1024px but parallel_num=16, at 512px and 1024px
-        # (VERDICT r3 ask #7)
-        for res in (512, 1024):
-            k = f"t2i_16x_{res}px"
-            t2i_16x[k], t2i_cfgs[k], t2i_attr[k] = run_t2i_ladder(
-                [("int8+int8vae",
-                  ["--parallel", "16", "--height", str(res), "--quant-llm",
-                   "--quant-head", "--kv-int8", "--vae-int8"], {}),
-                 ("bf16", ["--parallel", "16", "--height", str(res)], {})],
-                timeout_s=700)
-        # int8 W8A8 serving config: TRUE 14B width at 28/40 layers, the
-        # single-chip maximum (bf16 stops at 13L); also the fastest.
-        # r4: the manual-DMA streamed head kernel leads (6.80 -> 6.11
-        # s/image at 2 images) and makes a 3-image batch WIN (5.74, MFU
-        # 0.699 — the DMA-hidden head amortizes; the r3 stacked sampler
-        # measured worse at 3). Cold compile ~1100s through the tunnel;
-        # warm (persistent cache) ~2min. BITDANCE_STREAMED_EM=0 rung =
-        # the r3-proven stacked-XLA sampler (6.80) if the kernel path
-        # regresses on driver hardware.
+        RESULT["t2i_1024px_s_per_image"] = t2i
+        RESULT["t2i_1024px_vs_baseline"] = vs_prior(
+            "t2i_1024px_s_per_image", t2i)
+        RESULT["t2i_config"] = f"0.7B-class LLM (16L/1024d) [{lbl}]"
+        emit_partial("t2i_1024px")
+
+        # ---- family 3: TRUE 14B width, 28/40 layers int8 (single-chip
+        # int8 maximum; bf16 stops at 13L) — see bench_t2i.py MEMORY_PLAN.
+        # r4: manual-DMA streamed head kernel leads, 3-image batch wins
+        # (5.74 s/image, MFU 0.699). BITDANCE_STREAMED_EM=0 rung = the
+        # r3-proven stacked-XLA sampler if the kernel path regresses.
+        # int8-KV everywhere: bf16-KV at this geometry plans to within
+        # ~0.6G of the HBM ceiling and runtime-OOMs — measured r3.
         base_28 = ["--real-14b", "--layers", "28", "--quant-llm",
                    "--quant-head", "--vae-int8", "--kv-int8"]
-        # int8-KV everywhere: bf16-KV at this geometry plans to within
-        # ~0.6G of the HBM ceiling and runtime-OOMs — measured r3
-        t2i_14b, t2i_cfgs["t2i_14b_geom"], t2i_attr["t2i_14b_geom"] = \
-            run_t2i_ladder(
-                [("int8+3img", base_28 + ["--images", "3"], {}),
-                 ("int8+2img", base_28 + ["--images", "2"], {}),
-                 ("int8+2img+stacked-sampler", base_28 + ["--images", "2"],
-                  {"BITDANCE_STREAMED_EM": "0"}),
-                 # no-cache rung: a poisoned persistent-cache entry
-                 # surfaced as an async InvalidArgument in r4 (fresh
-                 # compile of the identical config passed) — never let a
-                 # stale cache null this metric family
-                 ("int8+3img+nocache", base_28 + ["--images", "3"],
-                  {"BITDANCE_COMPILE_CACHE": "0"}),
-                 ("int8+bf16kv-1img", ["--real-14b", "--layers", "28",
-                                       "--quant-llm", "--quant-head",
-                                       "--images", "1"], {})],
-                timeout_s=1800)
-        # COMPLETE-model capacity config: all 40 layers at true 14B width
-        # via packed int4 W4A8 (ops/int4.py) — the only single-chip config
-        # that serves the full-depth model (MEMORY_PLAN in bench_t2i.py)
+        t2i_14b, lbl, t2i_attr["t2i_14b_geom"] = run_t2i_ladder(
+            [("int8+3img", base_28 + ["--images", "3"], {}),
+             ("int8+2img", base_28 + ["--images", "2"], {}),
+             ("int8+2img+stacked-sampler", base_28 + ["--images", "2"],
+              {"BITDANCE_STREAMED_EM": "0"}),
+             # no-cache rung: a poisoned persistent-cache entry surfaced
+             # as an async InvalidArgument in r4 (fresh compile of the
+             # identical config passed) — only attempted when >1500s of
+             # budget remain (cold compile ~1100s)
+             ("int8+3img+nocache", base_28 + ["--images", "3"],
+              {"BITDANCE_COMPILE_CACHE": "0"}),
+             ("int8+bf16kv-1img", ["--real-14b", "--layers", "28",
+                                   "--quant-llm", "--quant-head",
+                                   "--images", "1"], {})],
+            timeout_s=1500)
+        RESULT["t2i_14b_geom_s_per_image"] = t2i_14b
+        RESULT["t2i_14b_geom_vs_baseline"] = vs_prior(
+            "t2i_14b_geom_s_per_image", t2i_14b)
+        RESULT["t2i_14b_geom_config"] = (
+            "5120d LLM 28/40 layers + full 14B head, int8 W8A8, "
+            f"dma head kernel [{lbl}]")
+        emit_partial("t2i_14b_geom")
+
+        # ---- family 4: COMPLETE-model capacity config: all 40 layers at
+        # true 14B width via packed int4 W4A8 (ops/int4.py) — the only
+        # single-chip config that serves the full-depth model.
+        # int8-KV leads: 40L bf16-KV 2-image OOMs on-device (measured r3).
+        # r4 kernel: 9.75 -> 7.05 s/image at 2 images, 6.93 at 3.
         base_40 = ["--real-14b", "--layers", "40", "--quant-llm-int4",
                    "--head-int4", "--vae-int8", "--kv-int8"]
-        # int8-KV leads here too: 40L bf16-KV 2-image OOMs on-device
-        # (RESOURCE_EXHAUSTED, measured r3) — don't burn a ~8min compile
-        # on a config known to die. r4 kernel: 9.75 -> 7.05 s/image at
-        # 2 images, 6.93 at 3 (measured, fits HBM — int4 weights leave
-        # room); stacked-sampler rung (=0) is the r3-proven fallback.
-        t2i_14b_full, t2i_cfgs["t2i_14b_full_depth"], \
-            t2i_attr["t2i_14b_full_depth"] = run_t2i_ladder(
-                [("int4+3img", base_40 + ["--images", "3"], {}),
-                 ("int4+2img", base_40 + ["--images", "2"], {}),
-                 ("int4+2img+stacked-sampler", base_40 + ["--images", "2"],
-                  {"BITDANCE_STREAMED_EM": "0"}),
-                 # cache-poisoning insurance (see the geom ladder comment)
-                 ("int4+3img+nocache", base_40 + ["--images", "3"],
-                  {"BITDANCE_COMPILE_CACHE": "0"}),
-                 ("int4+int8kv-1img", ["--real-14b", "--layers", "40",
-                                       "--quant-llm-int4", "--head-int4",
-                                       "--kv-int8", "--images", "1"], {})],
-                timeout_s=2100)
+        t2i_14b_full, lbl, t2i_attr["t2i_14b_full_depth"] = run_t2i_ladder(
+            [("int4+3img", base_40 + ["--images", "3"], {}),
+             ("int4+2img", base_40 + ["--images", "2"], {}),
+             ("int4+2img+stacked-sampler", base_40 + ["--images", "2"],
+              {"BITDANCE_STREAMED_EM": "0"}),
+             # cache-poisoning insurance (see the geom ladder comment)
+             ("int4+3img+nocache", base_40 + ["--images", "3"],
+              {"BITDANCE_COMPILE_CACHE": "0"}),
+             ("int4+int8kv-1img", ["--real-14b", "--layers", "40",
+                                   "--quant-llm-int4", "--head-int4",
+                                   "--kv-int8", "--images", "1"], {})],
+            timeout_s=1500)
+        RESULT["t2i_14b_full_depth_s_per_image"] = t2i_14b_full
+        RESULT["t2i_14b_full_depth_vs_baseline"] = vs_prior(
+            "t2i_14b_full_depth_s_per_image", t2i_14b_full)
+        RESULT["t2i_14b_full_depth_config"] = (
+            "COMPLETE 40-layer 5120d LLM + full 14B head, packed int4 "
+            f"W4A8, dma head kernel [{lbl}]")
+        RESULT["t2i_attribution"] = {k: v for k, v in t2i_attr.items()
+                                     if v is not None}
+        emit_partial("t2i_14b_full_depth")
 
-    # tokenizer enc+dec throughput (the BASELINE.md north-star metric's
-    # throughput side; PSNR parity is covered by the golden tests) —
-    # d16c32 production geometry, 256px (VERDICT r3 ask #3)
-    tok = None
-    if not args.quick:
-        tok = run_json_line_bench("benchmarks.bench_tokenizer", "TOKENIZER",
-                                  timeout_s=900)
+    # ---- family 5: tokenizer enc+dec throughput (the BASELINE.md
+    # north-star metric's throughput side; PSNR parity is covered by the
+    # golden tests) — d16c32 production geometry, 256px ----
+    tok = run_json_line_bench("benchmarks.bench_tokenizer", "TOKENIZER",
+                              timeout_s=900)
+    RESULT["tokenizer_enc_dec_imgs_per_sec"] = (
+        tok.get("enc_dec_imgs_per_sec") if tok else None)
+    prev_tok = prior_value(None, key="tokenizer_enc_dec_imgs_per_sec")
+    v = RESULT["tokenizer_enc_dec_imgs_per_sec"]
+    RESULT["tokenizer_vs_baseline"] = (
+        round(v / prev_tok, 4) if (v and prev_tok) else (1.0 if v else None))
+    RESULT["tokenizer_attribution"] = tok
+    emit_partial("tokenizer")
 
-    # train-step throughput (subprocess, same one-client rule):
+    # ---- families 6-8: train-step throughput ----
     #  - packed MLLM at the PRODUCTION 33k token budget
     #    (bitdance_14b_64x.yaml:45-47), sparse-iteration attention
     #  - the same step at TRUE 14B width (5120d Qwen3-14B layer geometry +
-    #    5120-wide head), reduced depth to fit one chip (r3 ask #5)
-    #  - ImageNet AR train step (r3 ask #6)
-    train_mllm = train_5120 = train_imgnet = None
-    if not (args.quick or args.skip_train):
+    #    5120-wide head), reduced depth to fit one chip
+    #  - ImageNet AR train step
+    if not args.skip_train:
+        def train_keys(prefix, rec, value_key, legacy_key=None):
+            val = rec.get(value_key) if rec else None
+            RESULT[f"{prefix}_{value_key}"] = val
+            prev_t = prior_value(None, key=f"{prefix}_{value_key}")
+            if prev_t is None and legacy_key:
+                # r2/r3 recorded this metric under a different key name
+                prev_t = prior_value(None, key=legacy_key)
+            RESULT[f"{prefix}_vs_baseline"] = (
+                round(val / prev_t, 4) if (val and prev_t)
+                else (1.0 if val else None))
+            if rec:
+                RESULT[f"{prefix}_attribution"] = rec
+
         train_mllm = run_json_line_bench(
             "benchmarks.bench_train", "TRAIN_MLLM",
             ["--skip-imagenet", "--mllm-budget", "33280", "--steps", "4"],
             timeout_s=900)
+        train_keys("mllm_train_33k", train_mllm, "tokens_per_sec_per_chip",
+                   legacy_key="mllm_train_33k_tokens_per_sec")
+        # continuity with the r2/r3 key name
+        RESULT["mllm_train_33k_tokens_per_sec"] = (
+            train_mllm.get("tokens_per_sec_per_chip") if train_mllm else None)
+        emit_partial("train_mllm_33k")
+
         train_5120 = run_json_line_bench(
             "benchmarks.bench_train", "TRAIN_MLLM",
             ["--skip-imagenet", "--mllm-real-width", "--mllm-layers", "2",
              "--head-blocks", "2", "--mllm-budget", "8192", "--steps", "4",
              "--bf16-state"],
-            timeout_s=1200)
+            timeout_s=900)
+        train_keys("mllm_train_5120d", train_5120, "tokens_per_sec_per_chip")
+        emit_partial("train_mllm_5120d")
+
         # b128: b256 HLO-temp-OOMs the remat'd train step (measured r4);
         # the serving bench runs b256 because inference has no adamw state
         train_imgnet = run_json_line_bench(
             "benchmarks.bench_train", "TRAIN_IMAGENET",
             ["--skip-mllm", "--imagenet-batch", "128", "--steps", "4"],
             timeout_s=900)
-
-    from bitdance_tpu.utils.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
-
-    import jax
-    import jax.numpy as jnp
-
-    from bitdance_tpu.models.imagenet_ar import (
-        IMAGENET_MODELS,
-        init_ar_params,
-        make_head,
-        sample,
-        tokens_to_grid,
-    )
-    from bitdance_tpu.models.tokenizer import VQModel
-
-    if args.quick:
-        from bitdance_tpu.models.imagenet_ar import ImageNetARConfig
-        cfg = ImageNetARConfig(
-            dim=256, n_layer=4, n_head=4, diff_layers=2, diff_dim=256,
-            diff_adanln_layers=1, latent_dim=16, resolution=64,
-            cls_token_num=8, parallel_num=args.parallel)
-        args.batch = min(args.batch, 4)
-        args.sample_steps = 8
-        dd_ch = 64
-        res_blocks = 1
-    else:
-        cfg = IMAGENET_MODELS[args.model](parallel_num=args.parallel,
-                                          resolution=256)
-        dd_ch = 256
-        res_blocks = 4
-
-    dd = dict(z_channels=cfg.latent_dim, in_channels=3, out_ch=3, ch=dd_ch,
-              ch_mult=[1, 1, 2, 2, 4], num_res_blocks=res_blocks)
-    # decode in bf16: conv compute dtype (params stay f32);
-    # GroupNorm statistics are fp32 inside the module
-    ae = VQModel(ddconfig=dd, dtype=jnp.bfloat16, conv_int8=args.vae_int8)
-
-    key = jax.random.PRNGKey(0)
-    params = init_ar_params(key, cfg, dtype=jnp.bfloat16)
-    if args.backbone_int8:
-        from bitdance_tpu.models.imagenet_ar import quantize_ar_params
-
-        # quantize OUTSIDE the sampling jit (pass as argument), else XLA
-        # remats the quantize chain into the AR scan bodies
-        params = jax.jit(quantize_ar_params)(params)
-    head = make_head(cfg, dtype=jnp.bfloat16,
-                     sample_weight_quant=args.head_int8)
-    if cfg.parallel_num > 1:
-        d_t = jnp.zeros((2, cfg.parallel_num, cfg.token_dim))
-        d_c = jnp.zeros((2, cfg.parallel_num, cfg.dim))
-    else:
-        d_t = jnp.zeros((2, cfg.token_dim))
-        d_c = jnp.zeros((2, cfg.dim))
-    head_params = jax.jit(head.init)(jax.random.PRNGKey(1), d_t, d_c,
-                                     jax.random.PRNGKey(2))
-    # stack (+quantize) head weights OUTSIDE the sampling jit: traced
-    # inside, XLA can rematerialize the chain into the AR scan bodies and
-    # re-quantize every step (measured 4x slower)
-    from bitdance_tpu.models.diff_head import DiffHead
-    head_stacked = None
-    if jax.default_backend() == "tpu":
-        head_stacked = jax.jit(
-            lambda hp: head.apply(hp, method=DiffHead._stack_for_sampler)
-        )(head_params)
-    lat_hw = cfg.resolution // cfg.down_size
-    ae_params = jax.jit(
-        lambda k, z: ae.init(k, z, method=VQModel.decode)
-    )(jax.random.PRNGKey(3), jnp.zeros((1, lat_hw, lat_hw, cfg.latent_dim)))
-
-    cls = jnp.arange(args.batch, dtype=jnp.int32) % cfg.num_classes
-
-    # Params MUST be jit arguments, not closures: closed-over arrays embed
-    # as HLO constants, and a 242M-param model makes the serialized compile
-    # request hundreds of MB (the remote-compile service rejects it with
-    # HTTP 413). Two separate programs also keep each graph small.
-    @jax.jit
-    def run_sample(params, head_params, head_stacked, cls, rng):
-        toks = sample(params, head, head_params, cfg, cls, rng,
-                      num_sampling_steps=args.sample_steps,
-                      cfg_scale=args.cfg_scale, kv_int8=args.kv_int8,
-                      head_stacked=head_stacked)
-        return tokens_to_grid(cfg, toks)
-
-    chunk = min(args.decode_chunk, args.batch)
-    n_chunks = -(-args.batch // chunk)
-
-    @jax.jit
-    def run_decode(ae_params, grid):
-        # all chunks inside ONE program: each host->device dispatch costs
-        # 20-90ms over the tunnel, so 8 separate chunk calls were pure
-        # overhead; lax.map keeps the chunks sequential (decoder activation
-        # memory) without the dispatches
-        pad = n_chunks * chunk - grid.shape[0]
-        if pad:
-            grid = jnp.pad(grid, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        gs = grid.reshape((n_chunks, chunk) + grid.shape[1:])
-        imgs = jax.lax.map(
-            lambda g: ae.apply(ae_params, g, method=VQModel.decode), gs)
-        return imgs.reshape((-1,) + imgs.shape[2:])[: args.batch]
-
-    def run(rng):
-        grid = run_sample(params, head_params, head_stacked, cls, rng)
-        return run_decode(ae_params, grid)
-
-    import numpy as _np
-
-    def fence(x):
-        # on the axon tunnel block_until_ready resolves before device
-        # completion; a host readback is the only reliable timing fence
-        return float(jnp.sum(x[:, ::64, ::64].astype(jnp.float32)))
-
-    # compile
-    t0 = time.time()
-    out = run(jax.random.PRNGKey(10))
-    fence(out)
-    compile_and_first = time.time() - t0
-
-    times = []
-    for i in range(args.iters):
-        t0 = time.time()
-        out = run(jax.random.PRNGKey(11 + i))
-        fence(out)
-        times.append(time.time() - t0)
-
-    best = min(times)
-    imgs_per_sec = args.batch / best
-    metric = f"imagenet256_{args.model}_{args.parallel}x_images_per_sec_per_chip"
-    prev = prior_value(metric)
-    result = {
-        "metric": metric,
-        "value": round(imgs_per_sec, 4),
-        "unit": "images/sec/chip",
-        # no published reference wall-clock exists (BASELINE.json
-        # "published": {}), so the baseline is the last driver-recorded
-        # round: a regression shows up as vs_baseline < 1.
-        "vs_baseline": round(imgs_per_sec / prev, 4) if prev else 1.0,
-        "config": f"batch {args.batch}, bf16 model, "
-                  f"{'int8' if args.kv_int8 else 'bf16'} KV cache, "
-                  f"{'int8' if args.head_int8 else 'bf16'} head sampler "
-                  f"weights, {'int8' if args.vae_int8 else 'bf16'} VAE "
-                  f"decoder convs, windowed decode attention",
-    }
-    if not (args.quick or args.skip_t2i):
-        def vs_prior(key, val):
-            # s/image: LOWER is better, so vs_baseline = prior / current
-            prev = prior_value(None, key=key)
-            if prev and val:
-                return round(prev / val, 4)
-            return 1.0 if val else None
-
-        # flagship T2I: 1024px, p=64, 64 AR steps x 50 diffusion steps
-        result["t2i_1024px_s_per_image"] = t2i
-        result["t2i_1024px_vs_baseline"] = vs_prior(
-            "t2i_1024px_s_per_image", t2i)
-        result["t2i_config"] = (
-            "0.7B-class LLM (16L/1024d) "
-            f"[{t2i_cfgs.get('t2i_1024px')}]")
-        # true 14B WIDTH (5120d LLM + 5120-wide head, 152k vocab); 28/40
-        # layers is the single-chip int8 maximum (bf16 stops at 13L) —
-        # see benchmarks/bench_t2i.py MEMORY_PLAN
-        result["t2i_14b_geom_s_per_image"] = t2i_14b
-        result["t2i_14b_geom_vs_baseline"] = vs_prior(
-            "t2i_14b_geom_s_per_image", t2i_14b)
-        result["t2i_14b_geom_config"] = (
-            "5120d LLM 28/40 layers + full 14B head, int8 W8A8, "
-            f"dma head kernel [{t2i_cfgs.get('t2i_14b_geom')}]")
-        # the full-depth model on one chip (packed int4 weights)
-        result["t2i_14b_full_depth_s_per_image"] = t2i_14b_full
-        result["t2i_14b_full_depth_vs_baseline"] = vs_prior(
-            "t2i_14b_full_depth_s_per_image", t2i_14b_full)
-        result["t2i_14b_full_depth_config"] = (
-            "COMPLETE 40-layer 5120d LLM + full 14B head, packed int4 "
-            f"W4A8, dma head kernel [{t2i_cfgs.get('t2i_14b_full_depth')}]")
-        # 16x variant (64x-vs-16x speed shape, reference README.md:78,182)
-        for k, v in t2i_16x.items():
-            result[f"{k}_s_per_image"] = v
-            result[f"{k}_vs_baseline"] = vs_prior(f"{k}_s_per_image", v)
-            result[f"{k}_config"] = (
-                f"0.7B-class LLM, parallel_num=16 [{t2i_cfgs.get(k)}]")
-        # where the time goes + fraction of peak (VERDICT r2 ask #8)
-        result["t2i_attribution"] = {k: v for k, v in t2i_attr.items()
-                                     if v is not None}
-    if not args.quick:
-        result["tokenizer_enc_dec_imgs_per_sec"] = (
-            tok.get("enc_dec_imgs_per_sec") if tok else None)
-        prev_tok = prior_value(None, key="tokenizer_enc_dec_imgs_per_sec")
-        v = result["tokenizer_enc_dec_imgs_per_sec"]
-        result["tokenizer_vs_baseline"] = (
-            round(v / prev_tok, 4) if (v and prev_tok)
-            else (1.0 if v else None))
-        result["tokenizer_attribution"] = tok
-    if not (args.quick or args.skip_train):
-        def train_keys(prefix, rec, value_key, legacy_key=None):
-            val = rec.get(value_key) if rec else None
-            result[f"{prefix}_{value_key}"] = val
-            prev_t = prior_value(None, key=f"{prefix}_{value_key}")
-            if prev_t is None and legacy_key:
-                # r2/r3 recorded this metric under a different key name
-                prev_t = prior_value(None, key=legacy_key)
-            result[f"{prefix}_vs_baseline"] = (
-                round(val / prev_t, 4) if (val and prev_t)
-                else (1.0 if val else None))
-            if rec:
-                result[f"{prefix}_attribution"] = rec
-
-        train_keys("mllm_train_33k", train_mllm, "tokens_per_sec_per_chip",
-                   legacy_key="mllm_train_33k_tokens_per_sec")
-        train_keys("mllm_train_5120d", train_5120, "tokens_per_sec_per_chip")
         train_keys("imagenet_train", train_imgnet, "imgs_per_sec_per_chip")
-        # continuity with the r2/r3 key name
-        result["mllm_train_33k_tokens_per_sec"] = (
-            train_mllm.get("tokens_per_sec_per_chip") if train_mllm else None)
-    print(json.dumps(result))
-    print(f"# batch={args.batch} steps={args.sample_steps} "
-          f"best={best:.2f}s first(incl compile)={compile_and_first:.1f}s "
-          f"backend={jax.default_backend()}", file=sys.stderr)
+        emit_partial("train_imagenet")
+
+    # ---- families 9-10: 16x model variant (reference ships 14B-16x
+    # alongside 64x and claims 64x ~3x faster, README.md:78,182): same
+    # 0.7B-class geometry as t2i_1024px but parallel_num=16, at 512px and
+    # 1024px. LAST: least headline weight, first to go under deadline. ----
+    if not args.skip_t2i:
+        for res in (512, 1024):
+            k = f"t2i_16x_{res}px"
+            val, lbl, attr = run_t2i_ladder(
+                [("int8+int8vae",
+                  ["--parallel", "16", "--height", str(res), "--quant-llm",
+                   "--quant-head", "--kv-int8", "--vae-int8"], {}),
+                 ("bf16", ["--parallel", "16", "--height", str(res)], {})],
+                timeout_s=700)
+            RESULT[f"{k}_s_per_image"] = val
+            RESULT[f"{k}_vs_baseline"] = vs_prior(f"{k}_s_per_image", val)
+            RESULT[f"{k}_config"] = (
+                f"0.7B-class LLM, parallel_num=16 [{lbl}]")
+            if attr is not None:
+                RESULT.setdefault("t2i_attribution", {})[k] = attr
+            emit_partial(k)
+
+    print(json.dumps(RESULT))
+    print(f"# budget {args.budget_s:.0f}s, {int(remaining())}s unused",
+          file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
