@@ -440,6 +440,18 @@ def main():
                 RESULT.setdefault("t2i_attribution", {})[k] = attr
             emit_partial(k)
 
+    # ---- family 11: quantization quality (VERDICT r4 ask #3) — every
+    # quantized headline's quality cost: same-weights bf16 vs int8 vs int4
+    # pipelines, +-1 token agreement + decoded-image PSNR ----
+    if not args.skip_t2i:
+        qq = run_json_line_bench(
+            "benchmarks.bench_quant_quality", "QUANTQUALITY",
+            ["--hidden", "512", "--layers", "4", "--parallel", "16",
+             "--height", "256", "--steps", "50", "--seeds", "2"],
+            timeout_s=900)
+        RESULT["quant_quality"] = qq
+        emit_partial("quant_quality")
+
     print(json.dumps(RESULT))
     print(f"# budget {args.budget_s:.0f}s, {int(remaining())}s unused",
           file=sys.stderr, flush=True)
