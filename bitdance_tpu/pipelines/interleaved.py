@@ -33,6 +33,14 @@ Deliberate deviations from the reference (documented, not accidental):
     double-feeding them into the next model span (mllm.py:758-800). We keep
     the full generated image in both caches exactly once.
 
+PARITY GUARD: because of the deviations above, interleaved outputs CANNOT
+be golden-matched against the reference on any plan containing a generated
+text span followed by a generated image span (stale-uncond divergence) or
+consecutive generated image spans (double-fed scaffold divergence).
+`plan_parity_matchable(plan)` below classifies a plan; cross-framework
+parity tests must skip non-matchable plans or compare against the
+corrected-semantics expectation, never the reference's buggy trace.
+
 Host drives the item loop; each span runs as jitted device steps. The two
 KV streams advance as sequential batch-1 forwards — mirroring the
 reference's separate past_key_values / past_key_values_un passes — so CFG
@@ -81,6 +89,37 @@ def remove_first_user_block(text: str) -> str:
     if j == -1:
         return text
     return text[:i] + text[j + len(end_marker):]
+
+
+def plan_parity_matchable(plan: list["PlanItem"]) -> bool:
+    """True iff a plan's outputs can be golden-matched against the
+    reference implementation (see "Deliberate deviations" above).
+
+    Non-matchable (our corrected semantics diverge from the reference's
+    buggy trace):
+      * a generated TEXT span followed later by any generated IMAGE span —
+        the reference's uncond cache goes stale during text generation
+        (mllm.py:604-612), ours advances;
+      * more than one generated IMAGE span — the reference double-feeds
+        the earlier span's scaffold embeds and never caches its sampled
+        window (mllm.py:758-800), ours caches it exactly once.
+
+    Cross-framework parity tests MUST skip plans where this returns False
+    (or assert against the corrected-semantics expectation, never the
+    reference output).
+    """
+    gen_text_seen = False
+    gen_images = 0
+    for item in plan:
+        if item.source != "model":
+            continue
+        if item.type == "text":
+            gen_text_seen = True
+        elif item.type == "image":
+            gen_images += 1
+            if gen_text_seen or gen_images > 1:
+                return False
+    return True
 
 
 @dataclasses.dataclass

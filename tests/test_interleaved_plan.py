@@ -159,3 +159,26 @@ def test_remove_first_user_block():
     # unterminated block is left alone (reference slices only on a match)
     assert remove_first_user_block("<|im_start|>user\nX") == (
         "<|im_start|>user\nX")
+
+
+def test_plan_parity_matchable():
+    """Parity guard (ADVICE r4): plans touched by our documented
+    corrected-semantics deviations must be excluded from cross-framework
+    golden comparison; simple plans remain matchable."""
+    from bitdance_tpu.pipelines.interleaved import plan_parity_matchable
+
+    t_user = PlanItem(type="text", source="user", text="hi")
+    t_gen = PlanItem(type="text", source="model")
+    i_gen = PlanItem(type="image", source="model", image_size=(8, 8))
+
+    # matchable: user context + at most one generated image, no generated
+    # text before it
+    assert plan_parity_matchable([t_user, i_gen])
+    assert plan_parity_matchable([t_user, i_gen, t_gen])
+    assert plan_parity_matchable([t_user, t_gen])
+    # NOT matchable: generated text before a generated image (stale-uncond
+    # divergence, reference mllm.py:604-612)
+    assert not plan_parity_matchable([t_user, t_gen, i_gen])
+    # NOT matchable: two generated images (scaffold double-feed divergence,
+    # reference mllm.py:758-800)
+    assert not plan_parity_matchable([t_user, i_gen, i_gen])
