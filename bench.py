@@ -10,7 +10,7 @@ history (1.0 on first run).
 Round-5 restructure (BENCH_r04 rc=124 postmortem — the suite exceeded the
 driver's wall clock and, because results printed only once at the end,
 recorded NOTHING):
-  * a GLOBAL DEADLINE (--budget-s / BITDANCE_BENCH_BUDGET, default 3000s):
+  * a GLOBAL DEADLINE (--budget-s / BITDANCE_BENCH_BUDGET, default 3300s):
     every subprocess timeout is capped by the time remaining, families that
     can't fit are skipped with a "skipped(deadline)" config note, and the
     final JSON ALWAYS prints with rc=0 inside the budget;
@@ -222,7 +222,7 @@ def main():
                     help="small shapes to smoke-test the bench path")
     ap.add_argument("--budget-s", type=float,
                     default=float(os.environ.get("BITDANCE_BENCH_BUDGET",
-                                                 "3000")),
+                                                 "3300")),
                     help="global wall-clock budget; families that can't fit "
                          "are skipped so the final JSON always prints")
     ap.add_argument("--batch", type=int, default=256)
