@@ -17,9 +17,10 @@ import numpy as np
 from bitdance_tpu.ops import fused_head as fh
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "both"
-# streamed kernel variant to bench: "dma" (manual-DMA, default) or "tiled"
-# (the r3 grid-tiled kernel, kept for A/B)
+# streamed kernel variant: only "dma" remains (the r3 grid-tiled kernel
+# was pruned in r5; its A/B record lives in probe_head_dots.py)
 VARIANT = sys.argv[2] if len(sys.argv) > 2 else "dma"
+assert VARIANT == "dma", "the grid-tiled variant was pruned in r5"
 
 
 def make_stacked(key, C, H, ch, L, ada, quant, dtype=jnp.bfloat16):

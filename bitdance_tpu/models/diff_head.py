@@ -467,7 +467,9 @@ class DiffHead(nn.Module):
                                          self.attention)
                      or streamed_em_preferred(
                          self.ch_latent, rows, self.attention,
-                         weight_itemsize=itemsize)))
+                         weight_itemsize=itemsize,
+                         mods_itemsize=2 if self.dtype == jnp.bfloat16
+                         else 4)))
 
     def _can_stack_sample(self, cond, cfg_mult) -> bool:
         """Stacked XLA sampler: same precomputed-mods design as the fused
@@ -653,7 +655,14 @@ def make_fused_sampler(head: DiffHead, head_variables: dict | None,
 
 def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
                           num_sampling_steps: int, cfg_mult: int):
-    """Sampler dispatch without a bound flax module (stacked-only mode)."""
+    """Sampler dispatch without a bound flax module (stacked-only mode).
+
+    No backend gate: stacked-only bundles have no flax fallback, and the
+    stacked XLA sampler runs anywhere (the Pallas kernels stay TPU-only
+    via use_kernel). A TP head-major stacked tree ("hm_marker",
+    parallel/tp.py) always routes to the stacked XLA sampler — the GSPMD
+    shardings propagate through it; the manual-DMA kernel is a
+    single-device program."""
     from bitdance_tpu.ops.fused_head import (
         fused_net_available,
         streamed_em_preferred,
@@ -663,8 +672,7 @@ def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
     for d in cond.shape[:-1]:
         rows *= d
     ok = (
-        jax.default_backend() == "tpu"
-        and cfg_mult == 2
+        cfg_mult == 2
         and head.use_swiglu
         and head.ch_latent % 128 == 0
         and head.ch_latent % head.attn_head_dim == 0
@@ -673,10 +681,13 @@ def _run_stacked_dispatch(head: DiffHead, stacked: dict, cond, rng, cfg,
         and (not head.attention or cond.shape[0] % 2 == 0)
     )
     assert ok, "stacked-only sampler requires the stacked-path shape contract"
-    use_kernel = (fused_net_available(head.ch_latent, rows, head.attention)
-                  or streamed_em_preferred(
-                      head.ch_latent, rows, head.attention,
-                      weight_itemsize=_quant_itemsize(
-                          head.sample_weight_quant)))
+    use_kernel = (
+        "hm_marker" not in stacked
+        and jax.default_backend() == "tpu"
+        and (fused_net_available(head.ch_latent, rows, head.attention)
+             or streamed_em_preferred(
+                 head.ch_latent, rows, head.attention,
+                 weight_itemsize=_quant_itemsize(head.sample_weight_quant),
+                 mods_itemsize=2 if head.dtype == jnp.bfloat16 else 4)))
     return _run_fused_sample(head, stacked, cond, rng, cfg,
                              num_sampling_steps, use_kernel=use_kernel)

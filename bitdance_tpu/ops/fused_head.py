@@ -651,250 +651,11 @@ def _fused_em_kernel_resident(
         o_ref[...] = xf.astype(o_ref.dtype)
 
 
-def _fused_em_kernel_streamed(
-    # inputs
-    x0_ref, noise_ref, m0_ref, m1_ref, m2_ref, fm_ref,
-    t_sm, dt_sm, cfg_sm,
-    in_w_ref, in_b_ref, f_out_w_ref, f_out_b_ref,
-    n1_ref, n2_ref,
-    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-    w1_ref, b1_ref, w2_ref, b2_ref,
-    *rest,
-    num_blocks: int, num_steps: int, switch_freq: int, n_head: int,
-    groups: int, bounded: bool, last_step_size: float, quant: bool,
-    tiles: tuple, hidden: int, final_chunk: bool = True, eps: float = 1e-6,
-):
-    """Sub-block-TILED twin of _fused_em_kernel for heads whose PER-BLOCK
-    weights exceed VMEM (the 5120-wide 14B T2I head: w1 alone is 78MB int8).
-
-    grid = (num_steps+1, num_blocks, n_tiles): the innermost grid dim walks
-    column tiles of the four block matrices in stage order
-    (qkv -> attention+wo -> w1 -> glu+w2); each weight input's index_map
-    advances only during its stage and parks at the NEXT tile it will need,
-    so Pallas's revolving buffers double-buffer every tile DMA behind the
-    previous tile's MXU work — the whole sampler runs at the weight-DMA
-    roofline instead of XLA's serialize-load-then-dot pattern (measured
-    ~2.2x on the matmul chain at 14B-head shapes). Activations stay
-    VMEM-resident across the entire grid; per-stage activations are
-    quantized ONCE per row (identical semantics to _mmq's per-call row
-    quantization, which re-derives the same scales from the same rows).
-    """
-    rest = list(rest)
-    wqkv_s = wo_s = w1_s = w2_s = None
-    if quant:
-        wqkv_s, wo_s, w1_s, w2_s = rest[:4]
-        rest = rest[4:]
-        o_ref, x_vm, h_vm, buf_vm, a_vm, sa_vm = rest
-    else:
-        o_ref, x_vm, h_vm, buf_vm, a_vm = rest
-        sa_vm = None
-
-    t_q, t_o, t_1, t_2 = tiles
-    s1, s2, s3 = t_q, t_q + t_o, t_q + t_o + t_1
-    tt_all = s3 + t_2
-    s = pl.program_id(0)
-    l = pl.program_id(1)
-    t = pl.program_id(2)
-    half = x0_ref.shape[0]
-    c_dim = h_vm.shape[1]
-    tn = wqkv_ref.shape[2]
-    elem = n2_ref.dtype
-
-    def stage_quant(act):
-        """Row-quantize (or bf16-store) a stage's activations into a_vm.
-        act: f32 [R, K]. Scales persist in sa_vm across the stage's tiles."""
-        k_dim = act.shape[1]
-        if quant:
-            sa = jnp.maximum(
-                jnp.max(jnp.abs(act), axis=1, keepdims=True) / 127.0, 1e-12)
-            q = jnp.clip(jnp.round(act / sa), -127, 127).astype(jnp.int8)
-            a_vm[:, pl.dslice(0, k_dim)] = q
-            sa_vm[...] = jnp.broadcast_to(sa, sa_vm.shape)
-        else:
-            a_vm[:, pl.dslice(0, k_dim)] = act.astype(elem)
-
-    def stage_dot(k_dim, w_tile, w_s_tile):
-        """a_vm[:, :k_dim] @ w_tile -> f32 [R, tn] (s8 MXU path if quant;
-        int4-packed tiles are detected by their halved K and unpacked into
-        two half-K s8 dots — W4A8)."""
-        if quant and 2 * w_tile.shape[0] == k_dim:
-            kh = w_tile.shape[0]
-            lo, hi = _unpack_int4(w_tile)
-            y = (jax.lax.dot_general(
-                    a_vm[:, pl.dslice(0, kh)], lo,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                 + jax.lax.dot_general(
-                    a_vm[:, pl.dslice(kh, kh)], hi,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32))
-            return y.astype(jnp.float32) * (sa_vm[:, 0:1] * w_s_tile)
-        a = a_vm[:, pl.dslice(0, k_dim)]
-        if quant:
-            y = jax.lax.dot_general(a, w_tile, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-            return y.astype(jnp.float32) * (sa_vm[:, 0:1] * w_s_tile)
-        return jax.lax.dot_general(a, w_tile, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def lnmod(nrm, scale, shift):
-        """adaLN modulation of the residual stream (f32 stats)."""
-        ln = _ln(h_vm[...], eps) * nrm[0][None].astype(jnp.float32) \
-            + nrm[1][None].astype(jnp.float32)
-        return ln * (1.0 + scale.astype(jnp.float32)) \
-            + shift.astype(jnp.float32)
-
-    @pl.when((s == 0) & (l == 0) & (t == 0))
-    def _init():
-        x_vm[...] = x0_ref[...].astype(jnp.float32)
-
-    @pl.when((l == 0) & (t == 0))
-    def _proj_in():
-        x = x_vm[...]
-        combined = jnp.concatenate([x, x], axis=0)           # CFG rows
-        h_vm[...] = _dot(combined, in_w_ref) + in_b_ref[0][None]
-
-    # ---- stage A: qkv tiles -------------------------------------------------
-    @pl.when(t == 0)
-    def _mod_attn():
-        m0 = m0_ref[0]                                       # [R, 2C]
-        stage_quant(lnmod(n1_ref[0], m0[:, :c_dim], m0[:, c_dim:]))
-
-    @pl.when(t < t_q)
-    def _qkv_tile():
-        y = stage_dot(c_dim, wqkv_ref[0],
-                      wqkv_s[0, 0][None] if quant else None) \
-            + bqkv_ref[0, 0][None]
-        buf_vm[:, pl.dslice(t * tn, tn)] = y.astype(elem)
-
-    # ---- stage B: window attention, then wo tiles ---------------------------
-    @pl.when(t == s1)
-    def _attention():
-        qkv = buf_vm[:, pl.dslice(0, 3 * c_dim)]
-        stage_quant(_attn_from_qkv(qkv, n_head=n_head,
-                                   groups=groups, c_dim=c_dim))
-
-    @pl.when((t >= s1) & (t < s2))
-    def _wo_tile():
-        tt = t - s1
-        proj = stage_dot(c_dim, wo_ref[0],
-                         wo_s[0, 0][None] if quant else None) \
-            + bo_ref[0, 0][None]
-        gate1 = m1_ref[0, :, pl.dslice(tt * tn, tn)].astype(jnp.float32)
-        cur = h_vm[:, pl.dslice(tt * tn, tn)]
-        h_vm[:, pl.dslice(tt * tn, tn)] = cur + proj * gate1
-
-    # ---- stage C: w1 tiles --------------------------------------------------
-    @pl.when(t == s2)
-    def _mod_mlp():
-        scale_m = m1_ref[0][:, c_dim:]
-        shift_m = m2_ref[0][:, :c_dim]
-        stage_quant(lnmod(n2_ref[0], scale_m, shift_m))
-
-    @pl.when((t >= s2) & (t < s3))
-    def _w1_tile():
-        tt = t - s2
-        y = stage_dot(c_dim, w1_ref[0],
-                      w1_s[0, 0][None] if quant else None) \
-            + b1_ref[0, 0][None]
-        buf_vm[:, pl.dslice(tt * tn, tn)] = y.astype(elem)
-
-    # ---- stage D: glu, then w2 tiles ----------------------------------------
-    @pl.when(t == s3)
-    def _glu():
-        h1 = buf_vm[:, pl.dslice(0, hidden)].astype(jnp.float32)
-        h2 = buf_vm[:, pl.dslice(hidden, hidden)].astype(jnp.float32)
-        stage_quant(jax.nn.silu(h1) * h2)
-
-    @pl.when(t >= s3)
-    def _w2_tile():
-        tt = t - s3
-        y = stage_dot(hidden, w2_ref[0],
-                      w2_s[0, 0][None] if quant else None) \
-            + b2_ref[0, 0][None]
-        gate2 = m2_ref[0, :, pl.dslice(c_dim + tt * tn, tn)] \
-            .astype(jnp.float32)
-        cur = h_vm[:, pl.dslice(tt * tn, tn)]
-        h_vm[:, pl.dslice(tt * tn, tn)] = cur + y * gate2
-
-    # ---- epilogue: final layer + EM update ----------------------------------
-    @pl.when((l == num_blocks - 1) & (t == tt_all - 1))
-    def _em_step():
-        fmod = fm_ref[0].astype(jnp.float32)                 # [R, 2C]
-        z = _ln(h_vm[...], eps) * (1.0 + fmod[:, :c_dim]) \
-            + fmod[:, c_dim:]
-        out = _dot(z, f_out_w_ref) + f_out_b_ref[0][None]    # [R, ch]
-        if bounded:
-            out = 2.0 * jax.nn.sigmoid(out) - 1.0
-
-        tv = t_sm[s]
-        dt = dt_sm[s]
-        cfgv = cfg_sm[0]
-        x = x_vm[...]
-        combined = jnp.concatenate([x, x], axis=0)
-        v = (out - combined) / jnp.maximum(1.0 - tv, 0.05)
-        vc = v[half:] + cfgv * (v[:half] - v[half:])
-
-        @pl.when(s < num_steps)
-        def _stochastic():
-            var = jnp.square(1.0 - tv) + tv * (1.0 - tv)
-            score = (tv * vc - x) / var
-            drift = vc + (1.0 - tv) * score
-            ns = jnp.sqrt(2.0 * (1.0 - tv) * dt)
-            xn = x + drift * dt + ns * noise_ref[0].astype(jnp.float32)
-            x_vm[...] = xn
-            if not final_chunk:
-                @pl.when(s == num_steps - 1)
-                def _write_out():
-                    o_ref[...] = xn.astype(o_ref.dtype)
-
-        @pl.when(s == num_steps)
-        def _final_euler():
-            xf = x + vc * last_step_size
-            x_vm[...] = xf
-            o_ref[...] = xf.astype(o_ref.dtype)
-
-
-def _pick_stream_tile(c_dim: int, hidden: int, rows: int,
-                      weight_itemsize: float = 1) -> int | None:
-    """Largest weight-column tile that divides every stage width (3C, C, 2H)
-    AND fits the kernel's total VMEM model: double-buffered tiles for the
-    four weight inputs + four [R, 2C] revolving mods blocks + the resident
-    activation scratch. Larger tiles amortize grid-step overhead; anything
-    >=512 columns keeps the per-tile DMA in the HBM-saturating range."""
-    width = max(3 * c_dim, 2 * hidden)
-    scratch = (rows * c_dim * 4            # h residual (f32)
-               + rows * width * 2          # qkv/h12 buffer (bf16)
-               + rows * max(c_dim, hidden)  # stage acts (int8/bf16 <= 2B)
-               + rows * 512 * 4)           # row scales + x state slack
-    mods = 4 * 2 * rows * 2 * c_dim * 2    # 4 aliased inputs, 2 buffers, bf16
-    for tn in (1280, 1024, 640, 512, 256, 128):
-        if c_dim % tn or (2 * hidden) % tn:
-            continue
-        weights = 2 * tn * (3 * c_dim + hidden) * weight_itemsize
-        if scratch + mods + weights < 112 * 1024 * 1024:
-            return tn
-    return None
-
-
-def streamed_em_available(c_dim: int, rows: int, attention: bool,
-                          hidden: int | None = None,
-                          weight_itemsize: float = 1) -> bool:
-    """FEASIBILITY of the sub-block-tiled streamed EM kernel: attention-
-    family SwiGLU heads with tileable widths that fit the VMEM model.
-    Answers only "can the kernel run"; the dispatch-preference question
-    (should it) is streamed_em_preferred."""
-    if not attention or c_dim % 128 != 0:
-        return False
-    hidden = int(c_dim * 1.5) if hidden is None else hidden
-    return _pick_stream_tile(c_dim, hidden, rows, weight_itemsize) is not None
-
-
 def streamed_em_preferred(c_dim: int, rows: int, attention: bool,
                           hidden: int | None = None,
-                          weight_itemsize: float = 1) -> bool:
-    """ROUTING preference for the streamed EM kernel: the MANUAL-DMA
-    variant when available, never the grid-tiled one.
+                          weight_itemsize: float = 1,
+                          mods_itemsize: int = 2) -> bool:
+    """ROUTING preference for the manual-DMA streamed EM kernel.
 
     Measured at the 14B head geometry (C=5120 H=7680 L=6 R=256, 50 steps,
     one v5e, benchmarks/bench_streamed_head.py, em_precompute included in
@@ -902,162 +663,27 @@ def streamed_em_preferred(c_dim: int, rows: int, attention: bool,
         int8 W8A8 : dma 3.353 ms/net-call vs stacked XLA 4.627  (1.38x)
         int4 W4A8 : dma 3.187 ms/net-call vs stacked XLA 6.706  (2.10x)
     against the ~2.8 ms floor (1.74 MXU + 0.48 modcat + ~0.5 serial glue,
-    benchmarks/probe_head_dots.py). The r3 grid-tiled kernel measured
-    10.35 ms at the same shape — per-grid-step fixed cost, see
-    _fused_em_kernel_streamed_dma's docstring — and stays dispreferred;
-    its 17.69-vs-7.31 s/image end-to-end regression record is why this
-    function gates on the dma variant specifically.
+    benchmarks/probe_head_dots.py). The r3 grid-tiled kernel generation
+    (10.35 ms at the same shape — per-grid-step fixed cost, see
+    _fused_em_kernel_streamed_dma's docstring — and a 17.69-vs-7.31
+    s/image end-to-end regression record) was PRUNED in r5; the history
+    lives in probe_head_dots.py.
 
-    BITDANCE_STREAMED_EM=0 forces the stacked XLA sampler (ladder
-    escalation / re-measurement); =force additionally admits the tiled
-    kernel where the dma variant is infeasible."""
+    BITDANCE_STREAMED_EM accepts exactly "" / "1" (default: dma kernel
+    when feasible) and "0" (force the stacked XLA sampler — the bench
+    ladders' escalation rung); anything else raises so a typo or a stale
+    legacy value ("force") can't silently change the serving kernel."""
     import os
 
     env = os.environ.get("BITDANCE_STREAMED_EM", "")
+    if env not in ("", "0", "1"):
+        raise ValueError(
+            f"BITDANCE_STREAMED_EM={env!r}: accepted values are '' / '1' "
+            "(default routing) and '0' (stacked XLA sampler)")
     if env == "0":
         return False
-    if streamed_dma_available(c_dim, rows, attention, hidden,
-                              weight_itemsize):
-        return True
-    return env == "force" and streamed_em_available(
-        c_dim, rows, attention, hidden, weight_itemsize)
-
-
-def _fused_em_sample_streamed(
-    stacked, x0, noise, allmods, t_all, dt_all, cfg, *,
-    num_blocks, switch_freq, n_head, groups, attention, bounded,
-    last_step_size, quant, num_steps, interpret, final_chunk=True,
-):
-    """pallas_call wrapper for _fused_em_kernel_streamed. `allmods` is the
-    standard combined layout [S+1, R, A*6C + 2C]; the kernel views it through
-    FOUR aliased inputs blocked in 2C-column units (mods pairs + final mods),
-    so no precompute-layout change is needed."""
-    assert attention, "streamed EM kernel is for the attention head family"
-    half, ch = x0.shape
-    rows = 2 * half
-    c_dim = stacked["n2"].shape[-1]
-    hidden = stacked["b1"].shape[-1] // 2
-    int4 = 2 * stacked["w1"].shape[1] == c_dim
-    w_itemsize = 0.5 if int4 else stacked["w1"].dtype.itemsize
-    tn = _pick_stream_tile(c_dim, hidden, rows, w_itemsize)
-    assert tn is not None, (c_dim, hidden, rows)
-    t_q, t_o = 3 * c_dim // tn, c_dim // tn
-    t_1, t_2 = 2 * hidden // tn, c_dim // tn
-    s1, s2, s3 = t_q, t_q + t_o, t_q + t_o + t_1
-    tt_all = s3 + t_2
-    n_l = num_blocks
-    assert allmods.shape[2] % (2 * c_dim) == 0, allmods.shape
-    fm_block = allmods.shape[2] // (2 * c_dim) - 1
-
-    # --- index maps ---------------------------------------------------------
-    def nxt(l):
-        return jax.lax.rem(l + 1, n_l)
-
-    def wqkv_map(s, l, t):
-        on = t < t_q
-        return (jnp.where(on, l, nxt(l)), 0, jnp.where(on, t, 0))
-
-    def wo_map(s, l, t):
-        on = (t >= s1) & (t < s2)
-        return (jnp.where(t < s2, l, nxt(l)), 0,
-                jnp.where(on, t - s1, 0))
-
-    def w1_map(s, l, t):
-        on = (t >= s2) & (t < s3)
-        return (jnp.where(t < s3, l, nxt(l)), 0,
-                jnp.where(on, t - s2, 0))
-
-    def w2_map(s, l, t):
-        return (l, 0, jnp.where(t >= s3, t - s3, 0))
-
-    def clampmap(lo, n):
-        return lambda s, l, t: (l, 0, jnp.clip(t - lo, 0, n - 1))
-
-    def mods_map(j):
-        # allmods column blocks in 2C units: [g*3 + j for ada group g]
-        return lambda s, l, t: (s, 0, (l // switch_freq) * 3 + j)
-
-    const = lambda arr: pl.BlockSpec(
-        arr.shape, lambda s, l, t: (0,) * arr.ndim)
-    smem = lambda arr: pl.BlockSpec(
-        arr.shape, lambda s, l, t: (0,) * arr.ndim, memory_space=pltpu.SMEM)
-
-    def spec(block, index_map):
-        return pl.BlockSpec(block, index_map)
-
-    args = [
-        x0, noise, allmods, allmods, allmods, allmods,
-        t_all, dt_all, cfg.reshape(1),
-        stacked["in_w"], stacked["in_b"][None],
-        stacked["f_out_w"], stacked["f_out_b"][None],
-        stacked["n1"], stacked["n2"],
-        stacked["wqkv"], stacked["bqkv"], stacked["wo"], stacked["bo"],
-        stacked["w1"], stacked["b1"], stacked["w2"], stacked["b2"],
-    ]
-    mods_block = (1, rows, 2 * c_dim)
-    specs = [
-        const(x0),
-        spec((1,) + noise.shape[1:],
-             lambda s, l, t: (jnp.minimum(s, num_steps - 1), 0, 0)),
-        spec(mods_block, mods_map(0)),
-        spec(mods_block, mods_map(1)),
-        spec(mods_block, mods_map(2)),
-        spec(mods_block, lambda s, l, t: (s, 0, fm_block)),
-        smem(t_all), smem(dt_all), smem(cfg.reshape(1)),
-        const(stacked["in_w"]), const(stacked["in_b"][None]),
-        const(stacked["f_out_w"]), const(stacked["f_out_b"][None]),
-        spec((1,) + stacked["n1"].shape[1:], lambda s, l, t: (l, 0, 0)),
-        spec((1,) + stacked["n2"].shape[1:], lambda s, l, t: (l, 0, 0)),
-        # K dims come from the stored arrays: int4-packed stacks are K/2
-        spec((1, stacked["wqkv"].shape[1], tn), wqkv_map),
-        spec((1, 1, tn), clampmap(0, t_q)),
-        spec((1, stacked["wo"].shape[1], tn), wo_map),
-        spec((1, 1, tn), clampmap(s1, t_o)),
-        spec((1, stacked["w1"].shape[1], tn), w1_map),
-        spec((1, 1, tn), clampmap(s2, t_1)),
-        spec((1, stacked["w2"].shape[1], tn), w2_map),
-        spec((1, 1, tn), clampmap(s3, t_2)),
-    ]
-    if quant:
-        args += [stacked["wqkv_s"], stacked["wo_s"],
-                 stacked["w1_s"], stacked["w2_s"]]
-        specs += [spec((1, 1, tn), clampmap(0, t_q)),
-                  spec((1, 1, tn), clampmap(s1, t_o)),
-                  spec((1, 1, tn), clampmap(s2, t_1)),
-                  spec((1, 1, tn), clampmap(s3, t_2))]
-
-    elem = stacked["n2"].dtype
-    width = max(3 * c_dim, 2 * hidden)
-    scratch = [
-        pltpu.VMEM((half, ch), jnp.float32),                 # x
-        pltpu.VMEM((rows, c_dim), jnp.float32),              # h (residual)
-        pltpu.VMEM((rows, width), elem),                     # qkv / h12
-        pltpu.VMEM((rows, max(c_dim, hidden)),
-                   jnp.int8 if quant else elem),             # stage acts
-    ]
-    if quant:
-        scratch.append(pltpu.VMEM((rows, 128), jnp.float32))  # row scales
-
-    kernel = functools.partial(
-        _fused_em_kernel_streamed, num_blocks=num_blocks,
-        num_steps=num_steps, switch_freq=switch_freq, n_head=n_head,
-        groups=groups, bounded=bounded, last_step_size=last_step_size,
-        quant=quant, tiles=(t_q, t_o, t_1, t_2), hidden=hidden,
-        final_chunk=final_chunk)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(num_steps + (1 if final_chunk else 0), num_blocks, tt_all),
-        in_specs=specs,
-        out_specs=pl.BlockSpec(x0.shape, lambda s, l, t: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=128 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*args)
+    return streamed_dma_available(c_dim, rows, attention, hidden,
+                                  weight_itemsize, mods_itemsize)
 
 
 def _fused_em_kernel_streamed_dma(
@@ -1293,7 +919,8 @@ def _fused_em_kernel_streamed_dma(
 
 def _pick_stream_dma_tile(c_dim: int, hidden: int, rows: int,
                           stored_k_max: int, w_itemsize: int = 1,
-                          int4: bool = False, n_buf: int = 2) -> int | None:
+                          int4: bool = False, n_buf: int = 2,
+                          mods_itemsize: int = 2) -> int | None:
     """Largest weight-column tile for the manual-DMA streamed kernel:
     must divide every stage width (3C, C, 2H), give an EVEN total tile
     count (so the double-buffer slot of each grid step's first tile is
@@ -1307,7 +934,10 @@ def _pick_stream_dma_tile(c_dim: int, hidden: int, rows: int,
                + rows * max(3 * c_dim, 2 * hidden) * 2   # qkv/h12 (bf16)
                + rows * max(c_dim, hidden) * 2           # stage acts
                + rows * 512 * 4)            # row scales + x state slack
-    mods = 4 * 2 * rows * 2 * c_dim * 2     # 4 aliased inputs, 2 bufs, bf16
+    # 4 aliased mods inputs, double-buffered; mods_itemsize follows the
+    # head dtype (bf16 heads carry bf16 mods, f32 heads f32 — charging a
+    # hardcoded 2 under-counted f32-head VMEM 2x, r4 advisor finding)
+    mods = 4 * 2 * rows * 2 * c_dim * mods_itemsize
     for tn in (2560, 2048, 1280, 1024, 640, 512, 256, 128):
         if c_dim % tn or (2 * hidden) % tn:
             continue
@@ -1323,9 +953,11 @@ def _pick_stream_dma_tile(c_dim: int, hidden: int, rows: int,
 
 def streamed_dma_available(c_dim: int, rows: int, attention: bool,
                            hidden: int | None = None,
-                           weight_itemsize: float = 1) -> bool:
+                           weight_itemsize: float = 1,
+                           mods_itemsize: int = 2) -> bool:
     """Feasibility of the manual-DMA streamed EM kernel (attention-family
-    SwiGLU heads; weight_itemsize 0.5 = int4-packed)."""
+    SwiGLU heads; weight_itemsize 0.5 = int4-packed; mods_itemsize 4 for
+    f32 heads)."""
     if not attention or c_dim % 128 != 0:
         return False
     hidden = int(c_dim * 1.5) if hidden is None else hidden
@@ -1334,7 +966,8 @@ def streamed_dma_available(c_dim: int, rows: int, attention: bool,
                     else max(c_dim, hidden))
     item = 1 if weight_itemsize <= 1 else int(weight_itemsize)
     return _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
-                                 item, int4=int4) is not None
+                                 item, int4=int4,
+                                 mods_itemsize=mods_itemsize) is not None
 
 
 def _fused_em_sample_streamed_dma(
@@ -1359,9 +992,10 @@ def _fused_em_sample_streamed_dma(
     import os
 
     n_buf = int(os.environ.get("BITDANCE_DMA_SLOTS", "2"))
+    mods_item = allmods.dtype.itemsize
     tn = _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
                                stacked["w1"].dtype.itemsize, int4=int4,
-                               n_buf=n_buf)
+                               n_buf=n_buf, mods_itemsize=mods_item)
     if tn is None and n_buf != 2:
         # the requested slot depth has no dividing tile count at this
         # geometry (e.g. DMA_SLOTS=3 at 14B: every tile count is a power
@@ -1369,7 +1003,8 @@ def _fused_em_sample_streamed_dma(
         # degrade to it rather than aborting the serving trace
         n_buf = 2
         tn = _pick_stream_dma_tile(c_dim, hidden, rows, stored_k_max,
-                                   stacked["w1"].dtype.itemsize, int4=int4)
+                                   stacked["w1"].dtype.itemsize, int4=int4,
+                                   mods_itemsize=mods_item)
     assert tn is not None, (c_dim, hidden, rows)
     assert allmods.shape[2] % (2 * c_dim) == 0, allmods.shape
     fm_block = allmods.shape[2] // (2 * c_dim) - 1
@@ -1493,6 +1128,10 @@ def fused_em_sample(
     num_steps = noise.shape[0]
     switch_freq = max(1, num_blocks // num_ada)
     quant = "w1_s" in stacked
+    # the Pallas kernels are single-device programs over the canonical
+    # (3, nh, hd)/(2, H) column order; TP trees go through em_sample_stacked
+    assert "hm_marker" not in stacked, \
+        "TP head-major stacked layout is em_sample_stacked-only"
 
     weight_keys = ["w1", "b1", "w2", "b2", "n2"]
     if quant:
@@ -1522,10 +1161,8 @@ def fused_em_sample(
             final_chunk=final_chunk)
 
     # per-(step, block) streaming needs a whole block's weights double-
-    # buffered in VMEM; beyond that (the 5120-wide 14B head) switch to a
-    # sub-block-tiled streamed kernel. `streamed` accepts True (auto:
-    # manual-DMA variant when feasible, else the grid-tiled one), "dma",
-    # or "tiled" (the r3 kernel, kept for A/B measurement).
+    # buffered in VMEM; beyond that (the 5120-wide 14B head) switch to the
+    # manual-DMA sub-block streamed kernel (`streamed` accepts True/"dma").
     if streamed is None:
         streamed = 2 * weight_bytes // num_blocks > 60 * 1024 * 1024
     if streamed:
@@ -1534,27 +1171,16 @@ def fused_em_sample(
         hidden = stacked["b1"].shape[-1] // 2
         int4 = 2 * stacked["w1"].shape[1] == c_dim
         w_item = 0.5 if int4 else stacked["w1"].dtype.itemsize
-        stream_kw = dict(
+        assert streamed_dma_available(c_dim, rows, attention, hidden,
+                                      w_item), \
+            ("streamed EM requested but infeasible", c_dim, rows, hidden)
+        return _fused_em_sample_streamed_dma(
+            stacked, x0, noise, allmods, t_all, dt_all, cfg,
             num_blocks=num_blocks, switch_freq=switch_freq, n_head=n_head,
             groups=groups, attention=attention, bounded=bounded,
             last_step_size=last_step_size, quant=quant,
             num_steps=num_steps, interpret=interpret,
             final_chunk=final_chunk)
-        dma_ok = streamed_dma_available(c_dim, rows, attention, hidden,
-                                        w_item)
-        # an EXPLICIT dma request must never silently measure the tiled
-        # kernel under the dma label (A/B integrity)
-        assert not (streamed == "dma" and not dma_ok), \
-            ("streamed='dma' requested but infeasible", c_dim, rows, hidden)
-        if streamed != "tiled" and dma_ok:
-            return _fused_em_sample_streamed_dma(
-                stacked, x0, noise, allmods, t_all, dt_all, cfg,
-                **stream_kw)
-        assert streamed_em_available(
-            c_dim, rows, attention, hidden, w_item), \
-            (c_dim, rows, attention, hidden)
-        return _fused_em_sample_streamed(
-            stacked, x0, noise, allmods, t_all, dt_all, cfg, **stream_kw)
 
     const = lambda arr: pl.BlockSpec(arr.shape, lambda s, l: (0,) * arr.ndim)
     per_block = lambda arr: pl.BlockSpec(
@@ -1682,7 +1308,8 @@ def _fused_em_sample_resident(
 
 def _block_body_xla(h, mods, attn_w, n2, w1, b1, w2, b2, *,
                     n_head: int, groups: int, eps: float,
-                    w1_s=None, w2_s=None, elem=jnp.float32):
+                    w1_s=None, w2_s=None, elem=jnp.float32,
+                    head_major: bool = False):
     """XLA twin of _block_body with BATCHED attention (einsum over heads
     instead of the kernel's per-head slicing loop — outside Pallas the
     per-head loop would emit 2*groups*n_head tiny HLO ops per block).
@@ -1692,7 +1319,14 @@ def _block_body_xla(h, mods, attn_w, n2, w1, b1, w2, b2, *,
     intermediate tensors ([R, 2H] glu chain) are carried in `elem`. bf16
     halves the VPU glue traffic; on the W8A8 path every matmul input is
     quantized to 8 bits anyway, so bf16 rounding (2^-8 relative) is noise
-    next to the existing activation-quantization error."""
+    next to the existing activation-quantization error.
+
+    `head_major`: the TP weight layout (parallel/tp.py
+    reorder_stacked_head_major) — wqkv columns ordered (n_head, 3, hd) and
+    w1 columns (n_head, 2, H/nh) instead of (3, n_head, hd) / (2, H), so a
+    last-dim tp sharding lands on whole heads and GSPMD propagates through
+    these reshapes without resharding. Pure permutation: outputs are
+    bit-identical to the canonical layout."""
     c_dim = h.shape[-1]
     mods = mods.astype(elem)
     h = h.astype(elem)
@@ -1710,10 +1344,16 @@ def _block_body_xla(h, mods, attn_w, n2, w1, b1, w2, b2, *,
         ha = moded(h, 0, n1)
         qkv = _mmq(ha, wqkv, wqkv_s) + bqkv[None]            # [R, 3C] f32
         w = h.shape[0] // groups
-        qkv = qkv.reshape(groups, w, 3, n_head, hd)
-        q = qkv[:, :, 0] * (hd ** -0.5)
-        k = qkv[:, :, 1]
-        v = qkv[:, :, 2]
+        if head_major:
+            qkv = qkv.reshape(groups, w, n_head, 3, hd)
+            q = qkv[:, :, :, 0] * (hd ** -0.5)
+            k = qkv[:, :, :, 1]
+            v = qkv[:, :, :, 2]
+        else:
+            qkv = qkv.reshape(groups, w, 3, n_head, hd)
+            q = qkv[:, :, 0] * (hd ** -0.5)
+            k = qkv[:, :, 1]
+            v = qkv[:, :, 2]
         s = jnp.einsum("gqhd,gkhd->ghqk", q, k)
         p = jax.nn.softmax(s, axis=-1)
         attn_out = jnp.einsum("ghqk,gkhd->gqhd", p, v).reshape(
@@ -1728,7 +1368,12 @@ def _block_body_xla(h, mods, attn_w, n2, w1, b1, w2, b2, *,
     hm = moded(h, mlp_base, n2)
     h12 = (_mmq(hm, w1, w1_s) + b1[None]).astype(elem)
     hidden = h12.shape[-1] // 2
-    glu = jax.nn.silu(h12[:, :hidden]) * h12[:, hidden:]
+    if head_major:
+        h3 = h12.reshape(h12.shape[0], n_head, 2, hidden // n_head)
+        glu = (jax.nn.silu(h3[:, :, 0]) * h3[:, :, 1]).reshape(
+            h12.shape[0], hidden)
+    else:
+        glu = jax.nn.silu(h12[:, :hidden]) * h12[:, hidden:]
     mlp_out = (_mmq(glu, w2, w2_s) + b2[None]).astype(elem)
     gate2 = mods[:, (mlp_base + 2) * c_dim:(mlp_base + 3) * c_dim]
     return h + mlp_out * gate2
@@ -1773,6 +1418,9 @@ def em_sample_stacked(
     num_steps = noise.shape[0]
     switch_freq = max(1, num_blocks // num_ada)
     quant = "w1_s" in stacked
+    # TP head-major weight layout (parallel/tp.py) — detected structurally
+    # off the pytree key so the canonical single-device trace is unchanged
+    head_major = "hm_marker" in stacked
     half, ch = x0.shape
     c_dim = stacked["n2"].shape[-1]
     n_mods = 6 if attention else 3
@@ -1819,7 +1467,8 @@ def em_sample_stacked(
                 bw["w2"], bw["b2"][0], n_head=n_head, groups=groups,
                 eps=1e-6,
                 w1_s=bw["w1_s"] if quant else None,
-                w2_s=bw["w2_s"] if quant else None, elem=glue_dtype)
+                w2_s=bw["w2_s"] if quant else None, elem=glue_dtype,
+                head_major=head_major)
             return h, None
 
         h, _ = jax.lax.scan(block, h, xs)

@@ -261,11 +261,25 @@ class T2IPipeline:
         # serving optimization.
         self.mesh = mesh
         if mesh is not None:
-            from bitdance_tpu.parallel.tp import shard_qwen3_params
+            from bitdance_tpu.parallel.tp import (
+                shard_head_stacked,
+                shard_qwen3_params,
+            )
 
+            # the diffusion head dominates serving FLOPs (1424/1580
+            # TFLOP per 14B image): shard the stacked sampler weights
+            # Megatron-style over tp as well (head-major reorder +
+            # column/row-parallel; routes to the stacked XLA sampler,
+            # whose GSPMD shardings propagate)
+            head_stacked = bundle.head_stacked
+            if head_stacked is not None and mesh.shape.get("tp", 1) > 1:
+                head_stacked = shard_head_stacked(
+                    head_stacked, mesh,
+                    bundle.head.ch_latent // bundle.head.attn_head_dim)
             self.bundle = dataclasses.replace(
-                bundle, llm_params=shard_qwen3_params(bundle.llm_params,
-                                                      mesh))
+                bundle,
+                llm_params=shard_qwen3_params(bundle.llm_params, mesh),
+                head_stacked=head_stacked)
         # escape hatch (also env BITDANCE_ONE_PROGRAM=1): skip the split
         # prefill/decode handoff entirely — slower (one in-program cache
         # copy) but has no layout handoff to get wrong

@@ -392,18 +392,18 @@ def test_em_stacked_xla_int4_close_to_fp():
     assert err > 0, "quantization had no effect (suspicious)"
 
 
-@pytest.mark.parametrize("streamed", ["tiled", "dma"])
+@pytest.mark.parametrize("streamed", ["dma"])
 @pytest.mark.parametrize("quant", [False, True, "int4"])
 def test_fused_em_streamed_matches_per_block(quant, streamed):
-    """Both sub-block streamed kernels (grid-tiled and manual-DMA; the
-    beyond-VMEM 14B T2I head regime) == the per-(step, block) kernel on
-    identical inputs, int8 W8A8 and packed int4 W4A8 included."""
+    """The manual-DMA sub-block streamed kernel (the beyond-VMEM 14B T2I
+    head regime) == the per-(step, block) kernel on identical inputs, int8
+    W8A8 and packed int4 W4A8 included. (The r3 grid-tiled variant was
+    pruned in r5 — probe_head_dots.py holds its measurement record.)"""
     from bitdance_tpu.ops.fused_head import (
         em_precompute,
         fused_em_sample,
         stack_diffnet_params,
         streamed_dma_available,
-        streamed_em_available,
     )
 
     net, params = _net_and_params(True)
@@ -414,7 +414,6 @@ def test_fused_em_streamed_matches_per_block(quant, streamed):
     rng = np.random.default_rng(11)
     noise = jnp.asarray(rng.normal(size=(steps,) + x0f.shape), jnp.float32)
 
-    assert streamed_em_available(256, 2 * x0f.shape[0], True, hidden=384)
     assert streamed_dma_available(256, 2 * x0f.shape[0], True, hidden=384)
     stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32,
                                    quant=quant)
@@ -432,7 +431,7 @@ def test_fused_em_streamed_matches_per_block(quant, streamed):
 
 
 @pytest.mark.parametrize("variant",
-                         ["per_block", "resident", "tiled", "dma"])
+                         ["per_block", "resident", "dma"])
 def test_fused_em_step_chunked_matches_single_shot(variant):
     """Step-chunked sampling (final_chunk=False chaining, the 14B HBM-peak
     fix in diff_head._run_fused_sample) == one whole-loop kernel call, for
@@ -452,7 +451,7 @@ def test_fused_em_step_chunked_matches_single_shot(variant):
     kw = dict(num_blocks=4, num_ada=2, n_head=2, groups=groups,
               attention=True, bounded=True, interpret=True,
               resident=variant == "resident",
-              streamed=(variant if variant in ("tiled", "dma") else False))
+              streamed=(variant if variant == "dma" else False))
     want = fused_em_sample(stacked, x0f, noise, allmods, t_all, dt_all,
                            jnp.float32(2.0), **kw)
 
@@ -492,3 +491,34 @@ def test_stream_dma_tile_picker_at_flagship_shapes():
     assert streamed_dma_available(5120, 384, True, 7680, 0.5)
     # non-attention heads never stream
     assert not streamed_dma_available(5120, 384, False, 7680, 1)
+
+
+def test_em_stacked_head_major_layout_matches_canonical():
+    """The TP head-major weight layout (parallel/tp.py) is a pure column
+    permutation: em_sample_stacked must produce BIT-IDENTICAL output from
+    the reordered tree (detected via the hm_marker pytree key)."""
+    from bitdance_tpu.ops.fused_head import (
+        em_precompute,
+        em_sample_stacked,
+        stack_diffnet_params,
+    )
+    from bitdance_tpu.parallel.tp import reorder_stacked_head_major
+
+    net, params = _net_and_params(True)
+    steps = 3
+    cond, x0, t_all, dt_all, c_emb, groups = _em_inputs(net, params, True,
+                                                        steps)
+    x0f = x0.reshape(-1, 8)
+    rng = np.random.default_rng(23)
+    noise = jnp.asarray(rng.normal(size=(steps,) + x0f.shape), jnp.float32)
+    stacked = stack_diffnet_params(params, 4, True, dtype=jnp.float32)
+    allmods = em_precompute(stacked, c_emb, t_all, out_dtype=jnp.float32)
+    kw = dict(num_blocks=4, num_ada=2, n_head=2, groups=groups,
+              attention=True, bounded=True)
+    want = em_sample_stacked(stacked, x0f, noise, allmods, t_all, dt_all,
+                             jnp.float32(2.0), **kw)
+    hm = reorder_stacked_head_major(stacked, 2)
+    assert "hm_marker" in hm
+    got = em_sample_stacked(hm, x0f, noise, allmods, t_all, dt_all,
+                            jnp.float32(2.0), **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -40,9 +40,14 @@ def test_env_zero_forces_stacked(monkeypatch):
     assert not streamed_em_preferred(5120, 256, True, 7680, 1)
 
 
-def test_force_admits_tiled_only_where_dma_infeasible(monkeypatch):
-    monkeypatch.setenv("BITDANCE_STREAMED_EM", "force")
-    # dma feasible -> preferred regardless
+def test_env_whitelist(monkeypatch):
+    """BITDANCE_STREAMED_EM accepts only ''/'1'/'0'; legacy/typo values
+    ("force", "yes") raise instead of silently routing (r4 advisor)."""
+    monkeypatch.setenv("BITDANCE_STREAMED_EM", "1")
     assert streamed_em_preferred(5120, 256, True, 7680, 1)
-    # non-attention head: neither streamed kernel applies
+    # non-attention head: the streamed kernel does not apply
     assert not streamed_em_preferred(5120, 256, False, 7680, 1)
+    for bad in ("force", "yes", "2"):
+        monkeypatch.setenv("BITDANCE_STREAMED_EM", bad)
+        with pytest.raises(ValueError):
+            streamed_em_preferred(5120, 256, True, 7680, 1)
