@@ -422,7 +422,19 @@ def main():
         train_keys("imagenet_train", train_imgnet, "imgs_per_sec_per_chip")
         emit_partial("train_imagenet")
 
-    # ---- families 9-10: 16x model variant (reference ships 14B-16x
+    # ---- family 9: quantization quality (VERDICT r4 ask #3) — every
+    # quantized headline's quality cost: same-weights bf16 vs int8 vs int4
+    # pipelines, +-1 token agreement + decoded-image PSNR ----
+    if not args.skip_t2i:
+        qq = run_json_line_bench(
+            "benchmarks.bench_quant_quality", "QUANTQUALITY",
+            ["--hidden", "512", "--layers", "4", "--parallel", "16",
+             "--height", "256", "--steps", "50", "--seeds", "2"],
+            timeout_s=900)
+        RESULT["quant_quality"] = qq
+        emit_partial("quant_quality")
+
+    # ---- families 10-11: 16x model variant (reference ships 14B-16x
     # alongside 64x and claims 64x ~3x faster, README.md:78,182): same
     # 0.7B-class geometry as t2i_1024px but parallel_num=16, at 512px and
     # 1024px. LAST: least headline weight, first to go under deadline. ----
@@ -442,18 +454,6 @@ def main():
             if attr is not None:
                 RESULT.setdefault("t2i_attribution", {})[k] = attr
             emit_partial(k)
-
-    # ---- family 11: quantization quality (VERDICT r4 ask #3) — every
-    # quantized headline's quality cost: same-weights bf16 vs int8 vs int4
-    # pipelines, +-1 token agreement + decoded-image PSNR ----
-    if not args.skip_t2i:
-        qq = run_json_line_bench(
-            "benchmarks.bench_quant_quality", "QUANTQUALITY",
-            ["--hidden", "512", "--layers", "4", "--parallel", "16",
-             "--height", "256", "--steps", "50", "--seeds", "2"],
-            timeout_s=900)
-        RESULT["quant_quality"] = qq
-        emit_partial("quant_quality")
 
     print(json.dumps(RESULT))
     print(f"# budget {args.budget_s:.0f}s, {int(remaining())}s unused",
