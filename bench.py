@@ -94,13 +94,15 @@ def probe_grant():
     # a crashed TPU client wedges the device grant for ~2-3 min; every
     # new client then hangs on its first op. Probe with a trivial
     # matmul before the next attempt so the wait doesn't eat the
-    # attempt's own timeout (measured: 158s recovery).
+    # attempt's own timeout (measured: 158s recovery). Returns True when
+    # the device answered — recorded as RESULT["device_probe"] so a
+    # null-filled result is self-explaining (r5 tunnel outage postmortem).
     import subprocess
 
     for _ in range(2):
         tmo = min(300.0, max(30.0, remaining() - 30.0))
         if remaining() < 60:
-            return
+            return False
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
@@ -109,9 +111,12 @@ def probe_grant():
                 cwd=REPO, env=dict(os.environ), capture_output=True,
                 text=True, timeout=tmo)
             if r.returncode == 0:
-                return
+                RESULT["device_probe"] = "ok"
+                return True
         except subprocess.TimeoutExpired:
             pass
+    RESULT.setdefault("device_probe", "unreachable")
+    return False
 
 
 def run_t2i_ladder(ladder, timeout_s=480):
