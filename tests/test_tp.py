@@ -83,3 +83,38 @@ def test_tp_t2i_serving_matches_single_device():
     assert got.shape == want.shape and got.dtype == want.dtype
     agree = float(np.mean(got == want))
     assert agree > 0.99, f"TP images diverge from replicated: {agree:.4f}"
+
+
+def test_head_tp_stacked_serving_token_exact():
+    """Megatron head-TP (r5): generate() with the STACKED sampler sharded
+    over tp (head-major reorder + column/row-parallel, parallel/tp.py)
+    must be token-exact vs the identical single-device stacked run, with
+    the head weights actually sharded."""
+    import dataclasses
+
+    from bitdance_tpu.models.diff_head import DiffHead
+    from bitdance_tpu.pipelines.t2i import T2IPipeline
+    from tests.test_t2i_pipeline import StubTokenizer, _tiny_bundle
+
+    b = _tiny_bundle()
+    # n_head=4 (attn_head_dim 32 on the 128-wide head) so tp=4 divides
+    # the heads; head params are head-count independent
+    head4 = b.head.clone(attn_head_dim=32)
+    stacked = head4.apply(b.head_params, method=DiffHead._stack_for_sampler)
+    b4 = dataclasses.replace(b, head=head4, head_params=None,
+                             head_stacked=stacked)
+    gen = dict(height=8, width=8, num_sampling_steps=4, guidance_scale=2.0,
+               num_images=1, seed=11, return_tokens=True)
+    _, tok_ref = T2IPipeline(b4, tokenizer=StubTokenizer(),
+                             force_one_program=True).generate(
+        "a head tp test prompt", **gen)
+
+    mesh = create_mesh(replica=1, fsdp=2, tp=4)
+    pipe = T2IPipeline(b4, tokenizer=StubTokenizer(),
+                       force_one_program=True, mesh=mesh)
+    hs = pipe.bundle.head_stacked
+    assert "hm_marker" in hs
+    for k in ("wqkv", "w1", "wo", "w2"):
+        assert "tp" in str(hs[k].sharding.spec), (k, hs[k].sharding.spec)
+    _, tok_tp = pipe.generate("a head tp test prompt", **gen)
+    assert float((tok_ref == tok_tp).mean()) == 1.0
