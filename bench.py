@@ -378,7 +378,19 @@ def main():
     RESULT["tokenizer_attribution"] = tok
     emit_partial("tokenizer")
 
-    # ---- families 6-8: train-step throughput ----
+    # ---- family 6: quantization quality (VERDICT r4 ask #3) — every
+    # quantized headline's quality cost: same-weights bf16 vs int8 vs int4
+    # pipelines, +-1 token agreement + decoded-image PSNR ----
+    if not args.skip_t2i:
+        qq = run_json_line_bench(
+            "benchmarks.bench_quant_quality", "QUANTQUALITY",
+            ["--hidden", "512", "--layers", "4", "--parallel", "16",
+             "--height", "256", "--steps", "50", "--seeds", "2"],
+            timeout_s=900)
+        RESULT["quant_quality"] = qq
+        emit_partial("quant_quality")
+
+    # ---- families 7-9: train-step throughput ----
     #  - packed MLLM at the PRODUCTION 33k token budget
     #    (bitdance_14b_64x.yaml:45-47), sparse-iteration attention
     #  - the same step at TRUE 14B width (5120d Qwen3-14B layer geometry +
@@ -426,18 +438,6 @@ def main():
             timeout_s=900)
         train_keys("imagenet_train", train_imgnet, "imgs_per_sec_per_chip")
         emit_partial("train_imagenet")
-
-    # ---- family 9: quantization quality (VERDICT r4 ask #3) — every
-    # quantized headline's quality cost: same-weights bf16 vs int8 vs int4
-    # pipelines, +-1 token agreement + decoded-image PSNR ----
-    if not args.skip_t2i:
-        qq = run_json_line_bench(
-            "benchmarks.bench_quant_quality", "QUANTQUALITY",
-            ["--hidden", "512", "--layers", "4", "--parallel", "16",
-             "--height", "256", "--steps", "50", "--seeds", "2"],
-            timeout_s=900)
-        RESULT["quant_quality"] = qq
-        emit_partial("quant_quality")
 
     # ---- families 10-11: 16x model variant (reference ships 14B-16x
     # alongside 64x and claims 64x ~3x faster, README.md:78,182): same
