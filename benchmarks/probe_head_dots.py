@@ -86,6 +86,20 @@ leaders) the mods double-buffers leave no VMEM for a deeper stream at a
 usable tile, so the default stays 2 slots. 3.304 - 0.51 precompute =
 2.79 ms: the kernel sits AT the 2.8 ms floor; further gains must come
 from shrinking the floor's glue term itself.
+
+r5 resolution on the ~0.4 ms glue-overlap lever: NOT attempted, by
+decision. (a) The MFU gates it would serve are already met with the r4
+kernel (full-depth 0.61, 28L 0.69, driver-capturable); (b) true overlap
+needs either row-group skewing (doubles weight DMA traffic — the stream
+is already at the 1.63 ms BW component of the floor, so this REGRESSES)
+or per-tile glue start, which requires head-major qkv/w1 tiling whose
+widths (multiples of 3*hd=384) do not divide the other stages' 5120/7680
+columns — a per-stage-tile-size kernel rewrite; (c) any kernel edit
+invalidates every cached 14B program via HLO source-location metadata
+(~20 min cold recompile per family through the tunnel), an unacceptable
+risk against the driver's bench budget in the final round. The grid-tiled
+r3 kernel generation itself was pruned this round (this docstring is its
+measurement record of note).
 """
 import sys
 import time
