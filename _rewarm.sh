@@ -8,8 +8,10 @@ run() {
   local name=$1 tmo=$2; shift 2
   echo "=== $name start $(date +%H:%M:%S)" | tee -a /tmp/rewarm.log
   timeout "$tmo" "$@" > "/tmp/rewarm_$name.log" 2>&1
-  echo "=== $name rc=$? end $(date +%H:%M:%S)" | tee -a /tmp/rewarm.log
+  local rc=$?
+  echo "=== $name rc=$rc end $(date +%H:%M:%S)" | tee -a /tmp/rewarm.log
   tail -2 "/tmp/rewarm_$name.log" | cut -c1-150 | sed 's/^/    /' | tee -a /tmp/rewarm.log
+  return $rc
 }
 run probe 300 python -c "import jax, jax.numpy as jnp; print('ok', float(jnp.sum(jnp.ones((256,256)))))" || exit 1
 run imagenet 1800 python -m benchmarks.bench_imagenet --batch 256

@@ -143,14 +143,20 @@ def run_t2i_ladder(ladder, timeout_s=480):
                   f"rung needs >1500s, {int(remaining())}s left",
                   file=sys.stderr, flush=True)
             continue
-        tmo = min(float(timeout_s), remaining() - 45.0)
-        if tmo < 120:
+        if remaining() - 45.0 < 120:
             print(f"# t2i bench [{label}]: skipped(deadline) — "
                   f"{int(remaining())}s left", file=sys.stderr, flush=True)
             continue
         # probe before every attempt: a previous ladder step (or an earlier
         # metric's crashed run) may have wedged the grant
         probe_grant()
+        # budget AFTER the probe — a slow/unreachable-device probe can eat
+        # ~10 min, and a stale pre-probe budget would overshoot DEADLINE
+        tmo = min(float(timeout_s), remaining() - 45.0)
+        if tmo < 120:
+            print(f"# t2i bench [{label}]: skipped(deadline after probe)",
+                  file=sys.stderr, flush=True)
+            continue
         # keep the environment intact: the axon PJRT plugin is registered
         # by sitecustomize.py on PYTHONPATH (/root/.axon_site) — removing
         # or extending PYTHONPATH both break plugin discovery
@@ -191,13 +197,18 @@ def run_json_line_bench(module, marker, extra_args=None, timeout_s=600,
     import re
     import subprocess
 
-    tmo = min(float(timeout_s), remaining() - 45.0)
-    if tmo < 120:
+    if remaining() - 45.0 < 120:
         print(f"# {module}: skipped(deadline) — {int(remaining())}s left",
               file=sys.stderr, flush=True)
         return None
     if probe:
         probe_grant()
+    # budget AFTER the probe (see run_t2i_ladder)
+    tmo = min(float(timeout_s), remaining() - 45.0)
+    if tmo < 120:
+        print(f"# {module}: skipped(deadline after probe)",
+              file=sys.stderr, flush=True)
+        return None
     try:
         r = subprocess.run(
             [sys.executable, "-m", module] + (extra_args or []),
@@ -301,6 +312,10 @@ def main():
         RESULT["t2i_1024px_vs_baseline"] = vs_prior(
             "t2i_1024px_s_per_image", t2i)
         RESULT["t2i_config"] = f"0.7B-class LLM (16L/1024d) [{lbl}]"
+        # attribution flushed per family — a mid-run kill must not lose
+        # already-measured attribution blocks (r5 review finding)
+        RESULT["t2i_attribution"] = {k: v for k, v in t2i_attr.items()
+                                     if v is not None}
         emit_partial("t2i_1024px")
 
         # ---- family 3: TRUE 14B width, 28/40 layers int8 (single-chip
@@ -333,6 +348,8 @@ def main():
         RESULT["t2i_14b_geom_config"] = (
             "5120d LLM 28/40 layers + full 14B head, int8 W8A8, "
             f"dma head kernel [{lbl}]")
+        RESULT["t2i_attribution"] = {k: v for k, v in t2i_attr.items()
+                                     if v is not None}
         emit_partial("t2i_14b_geom")
 
         # ---- family 4: COMPLETE-model capacity config: all 40 layers at

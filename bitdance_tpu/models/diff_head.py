@@ -497,8 +497,8 @@ class DiffHead(nn.Module):
                       stacked: dict | None = None, use_kernel: bool = True):
         if stacked is None:
             stacked = self._stack_for_sampler()
-        return _run_fused_sample(self, stacked, cond, rng, cfg,
-                                 num_sampling_steps, use_kernel=use_kernel)
+        return _run_fused_sample(self, stacked, cond, rng, cfg, num_sampling_steps,
+                                 use_kernel=use_kernel and "hm_marker" not in stacked)
 
 
 def _run_fused_sample(head: DiffHead, stacked: dict, cond, rng, cfg,

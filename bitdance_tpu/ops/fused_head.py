@@ -1171,8 +1171,8 @@ def fused_em_sample(
         hidden = stacked["b1"].shape[-1] // 2
         int4 = 2 * stacked["w1"].shape[1] == c_dim
         w_item = 0.5 if int4 else stacked["w1"].dtype.itemsize
-        assert streamed_dma_available(c_dim, rows, attention, hidden,
-                                      w_item), \
+        assert streamed_dma_available(c_dim, rows, attention, hidden, w_item,
+                                      mods_itemsize=allmods.dtype.itemsize), \
             ("streamed EM requested but infeasible", c_dim, rows, hidden)
         return _fused_em_sample_streamed_dma(
             stacked, x0, noise, allmods, t_all, dt_all, cfg,

@@ -100,25 +100,29 @@ def plan_parity_matchable(plan: list["PlanItem"]) -> bool:
       * a generated TEXT span followed later by any generated IMAGE span —
         the reference's uncond cache goes stale during text generation
         (mllm.py:604-612), ours advances;
-      * more than one generated IMAGE span — the reference double-feeds
-        the earlier span's scaffold embeds and never caches its sampled
-        window (mllm.py:758-800), ours caches it exactly once.
+      * ANY generated span after a generated IMAGE span — the reference
+        double-feeds the image span's scaffold embeds into the next model
+        span of either type and never caches its sampled window
+        (mllm.py:758-800), ours caches it exactly once.
 
     Cross-framework parity tests MUST skip plans where this returns False
     (or assert against the corrected-semantics expectation, never the
     reference output).
     """
     gen_text_seen = False
-    gen_images = 0
+    gen_image_seen = False
     for item in plan:
         if item.source != "model":
             continue
+        if gen_image_seen:
+            # scaffold double-feed corrupts every later model span
+            return False
         if item.type == "text":
             gen_text_seen = True
         elif item.type == "image":
-            gen_images += 1
-            if gen_text_seen or gen_images > 1:
+            if gen_text_seen:
                 return False
+            gen_image_seen = True
     return True
 
 

@@ -171,14 +171,16 @@ def test_plan_parity_matchable():
     t_gen = PlanItem(type="text", source="model")
     i_gen = PlanItem(type="image", source="model", image_size=(8, 8))
 
-    # matchable: user context + at most one generated image, no generated
-    # text before it
+    # matchable: user context + generated text, or ONE trailing generated
+    # image with nothing generated after it
     assert plan_parity_matchable([t_user, i_gen])
-    assert plan_parity_matchable([t_user, i_gen, t_gen])
     assert plan_parity_matchable([t_user, t_gen])
+    assert plan_parity_matchable([t_user, t_gen, t_gen])
     # NOT matchable: generated text before a generated image (stale-uncond
     # divergence, reference mllm.py:604-612)
     assert not plan_parity_matchable([t_user, t_gen, i_gen])
-    # NOT matchable: two generated images (scaffold double-feed divergence,
+    # NOT matchable: ANY generated span after a generated image (scaffold
+    # double-feed corrupts the next model span of either type,
     # reference mllm.py:758-800)
     assert not plan_parity_matchable([t_user, i_gen, i_gen])
+    assert not plan_parity_matchable([t_user, i_gen, t_gen])
