@@ -160,9 +160,9 @@ class TransBlock(nn.Module):
             w2 = nn.Dense(self.channels, dtype=self.dtype, name="w2")
             # fuse the SwiGLU half into one Pallas call (see MlpResBlock)
             use_fused = (
-                jax.default_backend() == "tpu"
-                and x.ndim == 3
-                and not self.is_initializing()
+                not train  # no VJP on the fused kernel (see attn half)
+                and jax.default_backend() == "tpu"
+                and x.ndim == 3 and not self.is_initializing()
                 and self.channels % 128 == 0
                 and (hidden * 2) % 128 == 0
             )
@@ -211,7 +211,7 @@ class MlpResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mods):
+    def __call__(self, x, mods, train: bool = False):
         scale, shift, gate = mods
         hidden = int(self.channels * 1.5)
         norm = LayerNormAffine(self.channels, name="norm")
@@ -219,9 +219,9 @@ class MlpResBlock(nn.Module):
         w2 = nn.Dense(self.channels, dtype=self.dtype, name="w2")
 
         use_fused = (
-            jax.default_backend() == "tpu"
-            and x.ndim == 2
-            and self.channels % 128 == 0
+            not train  # fused kernel has no VJP; training takes XLA
+            and jax.default_backend() == "tpu"
+            and x.ndim == 2 and self.channels % 128 == 0
             and (hidden * 2) % 128 == 0
         )
         if use_fused:
@@ -327,7 +327,7 @@ class DiffNet(nn.Module):
                                    h, mods, train=train)
             else:
                 h = MlpResBlock(self.model_channels, dtype=self.dtype,
-                                name=f"block_{i}")(h, mods)
+                                name=f"block_{i}")(h, mods, train)
 
         out = FinalLayer(self.model_channels, self.in_channels, dtype=self.dtype,
                          name="final_layer")(h, y)
